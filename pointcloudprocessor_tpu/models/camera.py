@@ -14,14 +14,21 @@ out at `create_camera.cpp:33-49`).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
 
 import jax
 import jax.numpy as jnp
 
 
-class PinholeCamera(NamedTuple):
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PinholeCamera:
     """Pinhole intrinsics + plumb_bob distortion.
+
+    A pytree whose ``width``/``height`` are STATIC metadata (they size
+    z-buffer grids and image gathers, so they must be compile-time
+    constants), while intrinsics/distortion are traced leaves (so the same
+    executable serves refined intrinsics).
 
     Attributes:
         intrinsic: (4,) [fx, fy, cx, cy]
@@ -33,8 +40,8 @@ class PinholeCamera(NamedTuple):
 
     intrinsic: jnp.ndarray
     distortion: jnp.ndarray
-    width: int
-    height: int
+    width: int = dataclasses.field(metadata=dict(static=True))
+    height: int = dataclasses.field(metadata=dict(static=True))
 
     def project(self, points: jnp.ndarray) -> jnp.ndarray:
         return project(self, points)

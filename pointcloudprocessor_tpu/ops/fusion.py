@@ -1,0 +1,151 @@
+"""Multi-view scored color fusion ops (vectorised, static-shape).
+
+Rebuilds the reference's observation scoring + top-5 blending
+(`PointCloudProcessor/src/PointCloudProcessor.cpp:557-629`,
+`include/PointCloudProcessor.hpp:205-236`, `include/RGBCloud.hpp:8-51`).
+
+The reference accumulates per-point observation LISTS across keyframes
+(hash map of vectors), sorts each by score and blends the top 5. Lists and
+sorts don't map to TPU; instead each point carries a fixed top-K register
+(scores + colors) updated with a vectorised replace-min as keyframes stream
+through a `lax.scan` — the final top-K set is identical (ties aside) and the
+blend is the same score-weighted average.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class TopKColors(NamedTuple):
+    """Per-point running best-K color observations.
+
+    scores: (N, K) finalScore per slot; empty slots hold -inf.
+    rgb:    (N, K, 3) colors [0, 255].
+    """
+
+    scores: jnp.ndarray
+    rgb: jnp.ndarray
+
+
+def init_topk(num_points: int, k: int = 5, dtype=jnp.float32) -> TopKColors:
+    return TopKColors(
+        scores=jnp.full((num_points, k), -jnp.inf, dtype),
+        rgb=jnp.zeros((num_points, k, 3), dtype),
+    )
+
+
+def update_topk(state: TopKColors, score: jnp.ndarray, rgb: jnp.ndarray, valid: jnp.ndarray) -> TopKColors:
+    """Insert one candidate observation per point (replace the current min
+    slot if the candidate beats it). O(K) vector ops, no sort.
+    """
+    cand = jnp.where(valid, score, -jnp.inf)
+    min_idx = jnp.argmin(state.scores, axis=-1)  # (N,)
+    min_val = jnp.take_along_axis(state.scores, min_idx[:, None], axis=-1)[:, 0]
+    do = cand > min_val
+    k = state.scores.shape[-1]
+    onehot = jax.nn.one_hot(min_idx, k, dtype=bool) & do[:, None]
+    new_scores = jnp.where(onehot, cand[:, None], state.scores)
+    new_rgb = jnp.where(onehot[..., None], rgb[:, None, :], state.rgb)
+    return TopKColors(new_scores, new_rgb)
+
+
+def blend_topk(state: TopKColors) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Score-weighted average of the stored top-K observations — semantics of
+    `smoothColors` (`PointCloudProcessor.cpp:604-631`).
+
+    Returns:
+        rgb: (N, 3) blended colors [0, 255].
+        colored: (N,) bool — point received at least one observation
+            (uncolored points are dropped downstream per
+            ``removePointsWithNoColor``, hpp:238-252).
+    """
+    w = jnp.where(jnp.isfinite(state.scores), state.scores, 0.0)
+    total = jnp.sum(w, axis=-1)
+    colored = total > 0.0
+    rgb = jnp.sum(state.rgb * w[..., None], axis=-2) / jnp.maximum(total, 1e-12)[:, None]
+    return rgb, colored
+
+
+# ---------------------------------------------------------------------------
+# Observation scores
+# ---------------------------------------------------------------------------
+
+
+def orientation_score(
+    points_camera: jnp.ndarray,
+    camera_position_world: jnp.ndarray | None = None,
+    score_floor: float = 0.2,
+    reference_compat: bool = False,
+) -> jnp.ndarray:
+    """Viewing-angle score in [floor, 1].
+
+    Intended semantics (`PointCloudProcessor.hpp:205-220`): cosine of the
+    angle between the viewing ray and the optical axis, affinely mapped to
+    [0.2, 1]. The reference arithmetic subtracts the WORLD-frame camera
+    position from the CAMERA-frame point (a frame mix-up); set
+    ``reference_compat=True`` to replicate that exactly.
+    """
+    if reference_compat and camera_position_world is not None:
+        view = points_camera - camera_position_world
+    else:
+        view = points_camera
+    cos = view[..., 2] / jnp.maximum(jnp.linalg.norm(view, axis=-1), 1e-12)
+    s = (cos + 1.0) * 0.5
+    return score_floor + (1.0 - score_floor) * s
+
+
+def distance_score(
+    points_camera: jnp.ndarray, optimal_distance: float = 2.0, score_floor: float = 0.2
+) -> jnp.ndarray:
+    """Distance-to-optimum score in [floor, 1]
+    (`PointCloudProcessor.hpp:222-236`: |d - 2| / 2, clamped)."""
+    d = jnp.linalg.norm(points_camera, axis=-1)
+    diff = jnp.minimum(jnp.abs(d - optimal_distance) / optimal_distance, 1.0)
+    return score_floor + (1.0 - score_floor) * (1.0 - diff)
+
+
+def final_score(points_camera, camera_position_world=None, *, optimal_distance=2.0, score_floor=0.2, reference_compat=False):
+    """(orientation + distance) / 2 — `PointCloudProcessor.cpp:588`."""
+    o = orientation_score(points_camera, camera_position_world, score_floor, reference_compat)
+    d = distance_score(points_camera, optimal_distance, score_floor)
+    return 0.5 * (o + d)
+
+
+# ---------------------------------------------------------------------------
+# Image sampling
+# ---------------------------------------------------------------------------
+
+
+def sample_nearest(image: jnp.ndarray, pixels: jnp.ndarray) -> jnp.ndarray:
+    """Sample image (H, W, C) or (H, W) at pixel coords with the reference's
+    integer-truncation convention (`PointCloudProcessor.cpp:752-753`:
+    ``static_cast<int>``). Out-of-range pixels clamp; callers mask."""
+    h, w = image.shape[0], image.shape[1]
+    u = jnp.clip(pixels[..., 0].astype(jnp.int32), 0, w - 1)
+    v = jnp.clip(pixels[..., 1].astype(jnp.int32), 0, h - 1)
+    return image[v, u]
+
+
+def hsv_adjust(rgb: jnp.ndarray, saturation_scale: float = 1.0, brightness_scale: float = 1.0) -> jnp.ndarray:
+    """Scale HSV saturation/value of an RGB [0,255] image — semantics of
+    `PointCloudProcessor.cpp:722-741`. No-op (and free after XLA DCE) at the
+    reference's default scales of 1.0."""
+    if saturation_scale == 1.0 and brightness_scale == 1.0:
+        return rgb
+    x = rgb / 255.0
+    mx = jnp.max(x, axis=-1)
+    mn = jnp.min(x, axis=-1)
+    delta = mx - mn
+    s = jnp.where(mx > 0, delta / jnp.maximum(mx, 1e-12), 0.0)
+    v = mx
+    # Scale s, v; rebuild via the standard HSV->RGB using original hue ratios.
+    s2 = jnp.clip(s * saturation_scale, 0.0, 1.0)
+    v2 = jnp.clip(v * brightness_scale, 0.0, 1.0)
+    # Rebuild: each channel = v2 * (1 - s2 * (1 - orig_channel_ratio))
+    ratio = jnp.where(delta[..., None] > 0, (mx[..., None] - x) / jnp.maximum(delta[..., None], 1e-12), 0.0)
+    out = v2[..., None] * (1.0 - s2[..., None] * ratio)
+    return jnp.clip(out * 255.0, 0.0, 255.0)

@@ -1,0 +1,190 @@
+"""Projective colorization + multi-view fusion — the jittable heart of the
+pipeline.
+
+Rebuilds `pcdColorizationAndSmooth`
+(`PointCloudProcessor/src/PointCloudProcessor.cpp:474-631`) as one
+`lax.scan` over keyframes on fixed-capacity arrays:
+
+reference (per keyframe, through disk + kd-tree)          this module
+--------------------------------------------------        ----------------------------
+transformPointCloud world->cam (:521)                     SE3 apply (fused)
+ViewCulling::cull / qhull HPR   (:527)                    scatter-min z-buffer mask
+generateColorMap project+sample (:705-767)                project + gather
+kd-tree radiusSearch to map index (:557-571)              identity (masks keep indices)
+RGBCloud observation lists      (:586-591)                per-point top-K registers
+smoothColors sort+top5 blend    (:604-631)                blend_topk
+removePointsWithNoColor         (hpp:238-252)             `colored` mask
+
+The kd-tree re-association step disappears entirely: culling returns a mask
+over ORIGINAL map indices, so observations land at their own index.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import se3
+from ..models import camera as cam
+from ..ops import fusion, zbuffer
+
+
+class KeyframeObservation(NamedTuple):
+    """Per-point observation of one keyframe (all (N,) / (N,.) aligned with
+    the input map cloud)."""
+
+    points_camera: jnp.ndarray  # (N, 3)
+    pixels: jnp.ndarray  # (N, 2)
+    visible: jnp.ndarray  # (N,) bool
+    rgb: jnp.ndarray  # (N, 3) float [0,255]
+    score: jnp.ndarray  # (N,) finalScore
+    label: Optional[jnp.ndarray] = None  # (N,) int32 mask label
+
+
+def observe_keyframe(
+    camera: cam.PinholeCamera,
+    image_rgb: jnp.ndarray,  # (H, W, 3) uint8/float
+    T_camera_world: se3.SE3,
+    points_world: jnp.ndarray,
+    valid: jnp.ndarray,
+    mask_image: Optional[jnp.ndarray] = None,  # (H, W) int32
+    camera_position_world: Optional[jnp.ndarray] = None,
+    *,
+    downsample_factor: int = 14,
+    depth_epsilon: float = 0.05,
+    optimal_distance: float = 2.0,
+    score_floor: float = 0.2,
+    saturation_scale: float = 1.0,
+    brightness_scale: float = 1.0,
+    reference_compat_orientation: bool = False,
+) -> KeyframeObservation:
+    """Project the map into one keyframe: cull, sample colors, score.
+
+    Fuses the reference's transform -> cull -> generateColorMap -> score
+    sequence (`PointCloudProcessor.cpp:495-591`) into one traced graph.
+    """
+    pts_cam = se3.transform_points(T_camera_world, points_world)
+    vis = zbuffer.cull_mask(
+        camera, pts_cam, valid, downsample_factor=downsample_factor, depth_epsilon=depth_epsilon
+    )
+    pixels = cam.project(camera, pts_cam)
+    img = fusion.hsv_adjust(image_rgb.astype(jnp.float32), saturation_scale, brightness_scale)
+    rgb = fusion.sample_nearest(img, pixels)
+    score = fusion.final_score(
+        pts_cam,
+        camera_position_world,
+        optimal_distance=optimal_distance,
+        score_floor=score_floor,
+        reference_compat=reference_compat_orientation,
+    )
+    label = None
+    if mask_image is not None:
+        label = fusion.sample_nearest(mask_image, pixels).astype(jnp.int32)
+    return KeyframeObservation(pts_cam, pixels, vis, rgb, score, label)
+
+
+class FusionResult(NamedTuple):
+    rgb: jnp.ndarray  # (N, 3) blended color [0,255]
+    colored: jnp.ndarray  # (N,) bool
+    best_label: Optional[jnp.ndarray]  # (N,) int32 label of best observation
+    observation_count: jnp.ndarray  # (N,) int32
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "top_k",
+        "downsample_factor",
+        "depth_epsilon",
+        "optimal_distance",
+        "score_floor",
+        "saturation_scale",
+        "brightness_scale",
+        "reference_compat_orientation",
+        "with_masks",
+    ),
+)
+def fuse(
+    camera: cam.PinholeCamera,
+    points_world: jnp.ndarray,  # (N, 3)
+    valid: jnp.ndarray,  # (N,)
+    images: jnp.ndarray,  # (K, H, W, 3) uint8
+    kf_poses: se3.SE3,  # batched (K,) camera->world
+    T_correction: se3.SE3,  # scalar correction (NID / manual), identity if none
+    mask_images: Optional[jnp.ndarray] = None,  # (K, H, W) int32
+    *,
+    top_k: int = 5,
+    downsample_factor: int = 14,
+    depth_epsilon: float = 0.05,
+    optimal_distance: float = 2.0,
+    score_floor: float = 0.2,
+    saturation_scale: float = 1.0,
+    brightness_scale: float = 1.0,
+    reference_compat_orientation: bool = False,
+    with_masks: bool = False,
+) -> FusionResult:
+    """Colorize the map from all keyframes and blend top-K observations.
+
+    The correction composes as ``T_c2w_optimized = T_c2w * T_correction``
+    (`PointCloudProcessor.cpp:507,516`). Keyframes stream through `lax.scan`
+    so only one image is resident in VMEM-adjacent working set at a time;
+    the per-point top-K registers are the only cross-keyframe state.
+    """
+    n = points_world.shape[0]
+    state0 = (
+        fusion.init_topk(n, top_k),
+        jnp.full((n,), -jnp.inf, jnp.float32),  # best score (for label)
+        jnp.zeros((n,), jnp.int32),  # best label
+        jnp.zeros((n,), jnp.int32),  # observation count
+    )
+
+    def step(state, inputs):
+        topk, best_s, best_l, count = state
+        if with_masks and mask_images is not None:
+            image, pose_q, pose_t, mask_img = inputs
+        else:
+            image, pose_q, pose_t = inputs
+            mask_img = None
+        T_c2w = se3.compose(se3.SE3(pose_q, pose_t), T_correction)
+        T_w2c = se3.inverse(T_c2w)
+        obs = observe_keyframe(
+            camera,
+            image,
+            T_w2c,
+            points_world,
+            valid,
+            mask_image=mask_img,
+            camera_position_world=pose_t,
+            downsample_factor=downsample_factor,
+            depth_epsilon=depth_epsilon,
+            optimal_distance=optimal_distance,
+            score_floor=score_floor,
+            saturation_scale=saturation_scale,
+            brightness_scale=brightness_scale,
+            reference_compat_orientation=reference_compat_orientation,
+        )
+        topk = fusion.update_topk(topk, obs.score, obs.rgb, obs.visible)
+        s = jnp.where(obs.visible, obs.score, -jnp.inf)
+        better = s > best_s
+        best_s = jnp.where(better, s, best_s)
+        if obs.label is not None:
+            best_l = jnp.where(better, obs.label, best_l)
+        count = count + obs.visible.astype(jnp.int32)
+        return (topk, best_s, best_l, count), None
+
+    xs = (
+        (images, kf_poses.q, kf_poses.t, mask_images)
+        if (with_masks and mask_images is not None)
+        else (images, kf_poses.q, kf_poses.t)
+    )
+    (topk, best_s, best_l, count), _ = jax.lax.scan(step, state0, xs)
+    rgb, colored = fusion.blend_topk(topk)
+    return FusionResult(
+        rgb=rgb,
+        colored=colored & valid,
+        best_label=best_l if (with_masks and mask_images is not None) else None,
+        observation_count=count,
+    )
