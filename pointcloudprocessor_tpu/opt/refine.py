@@ -1,0 +1,120 @@
+"""NID pose refinement: trust-region-guarded inner BFGS + outer re-solve loop.
+
+Rebuilds `VisualCameraCalibration::calibrate` / `estimate_pose_bfgs`
+(`PointCloudProcessor/src/vlcal/calib/visual_camera_calibration.cpp:49-129`)
+as one jitted computation:
+
+* the pose is parameterized as ``T = T_init ∘ exp(xi)`` (right perturbation,
+  the Sophus ceres manifold convention used at :205),
+* the trust-region guard (reject iterates >0.2 m / >2° from the inner-solve
+  start, :102) becomes a +inf objective outside the region, which the
+  BFGS line search backtracks out of — Ceres' failed-evaluation semantics,
+* the outer loop restarts the inner solve from the new pose until
+  ``delta_t < delta_trans_thresh`` and ``delta_r < delta_rot_thresh`` or
+  ``max_outer_iterations`` (:53-81), as a `lax.while_loop`.
+
+The reference re-reads the same culled clouds from disk every outer
+iteration (:160-167) — i.e. it does NOT re-cull; points here likewise stay
+fixed across outer iterations (re-culling is available upstream via
+``NIDConfig.recull_every_outer_iter``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import se3
+from ..models import camera as cam
+from ..utils.config import NIDConfig
+from . import bfgs
+from .nid import NIDKeyframe, multi_nid_loss
+
+
+class RefineResult(NamedTuple):
+    T_camera_lidar: se3.SE3
+    nid: jnp.ndarray  # final summed NID
+    outer_iterations: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def _guarded_objective(camera, kfs, bins, trust_trans, trust_rot, loss_fn):
+    """xi -> sum NID at T_init∘exp(xi), +inf outside the trust region."""
+
+    def objective(xi, T_init: se3.SE3):
+        T = se3.compose(T_init, se3.exp(xi))
+        loss = loss_fn(camera, T, kfs, bins)
+        # Trust region in the tangent of the inner-solve start pose.
+        trans = jnp.linalg.norm(se3.exp(xi).t)
+        rot = jnp.linalg.norm(xi[3:])
+        outside = (trans > trust_trans) | (rot > trust_rot)
+        big = jnp.asarray(jnp.inf, loss.dtype)
+        return jnp.where(outside, big, loss)
+
+    return objective
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "bins",
+        "max_outer_iterations",
+        "max_inner_iterations",
+        "loss_fn",
+    ),
+)
+def refine_pose(
+    camera: cam.PinholeCamera,
+    kfs: NIDKeyframe,  # batched over keyframes
+    T_init: se3.SE3,
+    *,
+    bins: int = 16,
+    max_outer_iterations: int = 10,
+    max_inner_iterations: int = 64,
+    delta_trans_thresh: float = 0.01,
+    delta_rot_thresh: float = 0.017453,  # 1 degree, hpp:24
+    trust_region_trans: float = 0.2,
+    trust_region_rot: float = 0.034907,  # 2 degrees, :102
+    loss_fn=multi_nid_loss,
+) -> RefineResult:
+    """Optimize the shared camera<-lidar correction transform over keyframes."""
+    objective = _guarded_objective(
+        camera, kfs, bins, trust_region_trans, trust_region_rot, loss_fn
+    )
+
+    class Outer(NamedTuple):
+        T: se3.SE3
+        nid: jnp.ndarray
+        it: jnp.ndarray
+        done: jnp.ndarray
+
+    def cond(st: Outer):
+        return (~st.done) & (st.it < max_outer_iterations)
+
+    def body(st: Outer):
+        res = bfgs.minimize(
+            lambda xi: objective(xi, st.T),
+            jnp.zeros(6, st.T.t.dtype),
+            max_iterations=max_inner_iterations,
+        )
+        T_new = se3.compose(st.T, se3.exp(res.x))
+        dt, dr = se3.delta_magnitudes(st.T, T_new)
+        converged = (dt < delta_trans_thresh) & (dr < delta_rot_thresh)
+        return Outer(T=T_new, nid=res.value, it=st.it + 1, done=converged)
+
+    init = Outer(
+        T=T_init,
+        nid=jnp.asarray(jnp.inf, T_init.t.dtype),
+        it=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return RefineResult(
+        T_camera_lidar=final.T,
+        nid=final.nid,
+        outer_iterations=final.it,
+        converged=final.done,
+    )

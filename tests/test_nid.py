@@ -1,0 +1,160 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointcloudprocessor_tpu.core import se3
+from pointcloudprocessor_tpu.models import camera as cam
+from pointcloudprocessor_tpu.opt import bfgs, nid, refine
+
+from synthetic import simple_camera
+
+
+def intensity_field(x, y):
+    """Smooth spatial intensity pattern in [0, 1]."""
+    return 0.5 + 0.25 * np.sin(2.0 * np.pi * x / 2.0) + 0.25 * np.cos(2.0 * np.pi * y / 1.5)
+
+
+def nid_scene(c, wall_z=5.0, n_side=60, seed=0):
+    """Wall of intensity-textured points + the image that observes them."""
+    rng = np.random.default_rng(seed)
+    fx = float(c.intrinsic[0])
+    cx, cy = float(c.intrinsic[2]), float(c.intrinsic[3])
+    w, h = c.width, c.height
+
+    us = np.linspace(2, w - 2, n_side) + rng.uniform(-0.5, 0.5, n_side)
+    vs = np.linspace(2, h - 2, n_side) + rng.uniform(-0.5, 0.5, n_side)
+    uu, vv = np.meshgrid(us, vs)
+    x = (uu - cx) / fx * wall_z
+    y = (vv - cy) / fx * wall_z
+    pts = np.stack([x, y, np.full_like(x, wall_z)], -1).reshape(-1, 3).astype(np.float32)
+    inten = intensity_field(pts[:, 0], pts[:, 1]).astype(np.float32)
+
+    # Render the image: each pixel unprojects to the wall.
+    ui = np.arange(w)
+    vi = np.arange(h)
+    uu2, vv2 = np.meshgrid(ui, vi)
+    wx = (uu2 - cx) / fx * wall_z
+    wy = (vv2 - cy) / fx * wall_z
+    img = intensity_field(wx, wy).astype(np.float32)
+    return pts, np.clip(inten, 0, 1), np.clip(img, 0, 1)
+
+
+def make_keyframe(c, pts, inten, img, bins=16):
+    return nid.NIDKeyframe(
+        points=jnp.asarray(pts),
+        intensity=jnp.asarray(inten),
+        valid=jnp.ones(len(pts), bool),
+        bin_image=nid.quantize_image(jnp.asarray(img), bins),
+    )
+
+
+def test_spline_partition_of_unity():
+    s = jnp.linspace(0.0, 0.999, 64)
+    w = np.asarray(nid.spline_weights(s))
+    np.testing.assert_allclose(w.sum(-1), 1.0, atol=1e-5)
+    assert (w >= -1e-6).all()
+
+
+def test_nid_lower_at_true_pose():
+    c = simple_camera()
+    pts, inten, img = nid_scene(c)
+    kf = make_keyframe(c, pts, inten, img)
+    v_true = float(nid.nid_loss(c, se3.identity(), kf))
+    xi = jnp.asarray([0.05, -0.03, 0.02, 0.01, -0.01, 0.02], jnp.float32)
+    v_pert = float(nid.nid_loss(c, se3.exp(xi), kf))
+    assert 0.0 <= v_true <= 1.0
+    assert v_true < v_pert
+
+
+def test_nid_gradient_finite_and_descends():
+    c = simple_camera()
+    pts, inten, img = nid_scene(c)
+    kf = make_keyframe(c, pts, inten, img)
+
+    def f(xi):
+        return nid.nid_loss(c, se3.exp(xi), kf)
+
+    xi0 = jnp.asarray([0.04, 0.0, 0.0, 0.0, 0.0, 0.01], jnp.float32)
+    val, g = jax.value_and_grad(f)(xi0)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(g)).all()
+    # One small gradient step decreases the loss.
+    val2 = f(xi0 - 1e-3 * g / np.linalg.norm(np.asarray(g)))
+    assert float(val2) < float(val)
+
+
+def test_nid_gradient_matches_finite_difference():
+    c = simple_camera()
+    pts, inten, img = nid_scene(c)
+    kf = make_keyframe(c, pts, inten, img)
+
+    def f(xi):
+        return nid.nid_loss(c, se3.exp(xi), kf)
+
+    xi0 = jnp.asarray([0.02, -0.01, 0.0, 0.005, 0.0, -0.005], jnp.float32)
+    g = np.asarray(jax.grad(f)(xi0))
+    eps = 1e-3
+    for i in [0, 4]:
+        e = np.zeros(6, np.float32)
+        e[i] = eps
+        fd = (float(f(xi0 + e)) - float(f(xi0 - e))) / (2 * eps)
+        # Loose: histogram binning adds stepwise structure, but the smooth
+        # B-spline part dominates.
+        assert np.sign(fd) == np.sign(g[i]) or abs(fd - g[i]) < 0.3 * max(abs(fd), abs(g[i]), 1e-3)
+
+
+def test_bfgs_on_rosenbrock():
+    def rosen(x):
+        return (1 - x[0]) ** 2 + 100.0 * (x[1] - x[0] ** 2) ** 2
+
+    res = bfgs.minimize(rosen, jnp.asarray([-1.2, 1.0], jnp.float32), max_iterations=200)
+    np.testing.assert_allclose(np.asarray(res.x), [1.0, 1.0], atol=1e-2)
+
+
+def test_bfgs_respects_inf_regions():
+    # Quadratic with a hard wall: minimizer of the quadratic is outside, so
+    # BFGS must stay inside the feasible region.
+    def f(x):
+        val = jnp.sum((x - 3.0) ** 2)
+        return jnp.where(jnp.linalg.norm(x) > 1.0, jnp.inf, val)
+
+    res = bfgs.minimize(f, jnp.zeros(2, jnp.float32), max_iterations=50)
+    assert float(jnp.linalg.norm(res.x)) <= 1.0 + 1e-5
+    assert float(res.value) < float(jnp.sum((jnp.zeros(2) - 3.0) ** 2))
+
+
+def test_refine_recovers_perturbation():
+    c = simple_camera()
+    pts, inten, img = nid_scene(c)
+    kf = make_keyframe(c, pts, inten, img)
+    kfs = nid.NIDKeyframe(
+        points=kf.points[None],
+        intensity=kf.intensity[None],
+        valid=kf.valid[None],
+        bin_image=kf.bin_image[None],
+    )
+    # True correction is identity; start from a perturbed pose within the
+    # trust region (2 cm, ~0.6 deg).
+    xi = jnp.asarray([0.02, -0.015, 0.01, 0.006, -0.004, 0.008], jnp.float32)
+    T0 = se3.exp(xi)
+    res = refine.refine_pose(c, kfs, T0, max_inner_iterations=60, max_outer_iterations=5)
+    dt, dr = se3.delta_magnitudes(res.T_camera_lidar, se3.identity())
+    # Recover within the reference's convergence thresholds (1 cm / 1 deg).
+    assert float(dt) < 0.01, f"translation error {float(dt)}"
+    assert float(dr) < 0.017453, f"rotation error {float(dr)}"
+
+
+def test_multi_nid_sums_keyframes():
+    c = simple_camera()
+    pts, inten, img = nid_scene(c)
+    kf = make_keyframe(c, pts, inten, img)
+    kfs = nid.NIDKeyframe(
+        points=jnp.stack([kf.points, kf.points]),
+        intensity=jnp.stack([kf.intensity, kf.intensity]),
+        valid=jnp.stack([kf.valid, kf.valid]),
+        bin_image=jnp.stack([kf.bin_image, kf.bin_image]),
+    )
+    single = float(nid.nid_loss(c, se3.identity(), kf))
+    double = float(nid.multi_nid_loss(c, se3.identity(), kfs))
+    np.testing.assert_allclose(double, 2 * single, rtol=1e-5)
