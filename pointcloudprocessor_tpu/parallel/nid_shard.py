@@ -1,0 +1,108 @@
+"""Multi-device NID refinement: keyframes and points sharded over a mesh.
+
+The TPU-native replacement for the reference's OpenMP parallel cost
+evaluation (`visual_camera_calibration.cpp:110-114`): each device computes
+the NID histograms for its (keyframe-shard × point-shard), histograms
+reduce over the point axis with `psum`, per-keyframe NIDs reduce over the
+keyframe axis with `psum`. The BFGS state (6-dim tangent + 6x6 inverse
+Hessian) is replicated — collectives carry only (bins x bins + 2*bins + 1)
+floats per keyframe per evaluation, so the solve is ICI-bandwidth-trivial
+and compute-bound on the projection/gather/matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core import se3
+from ..models import camera as cam
+from ..opt import bfgs
+from ..opt.nid import NIDKeyframe, nid_from_histograms, nid_histograms
+from . import mesh as mesh_lib
+
+
+def sharded_multi_nid_loss(
+    camera: cam.PinholeCamera,
+    T_camera_lidar: se3.SE3,
+    kfs: NIDKeyframe,
+    mesh: Mesh,
+    bins: int = 16,
+) -> jnp.ndarray:
+    """Sum of NIDs over keyframes, computed SPMD over the (kf, pt) mesh.
+
+    Input layout: every NIDKeyframe field has a leading keyframe axis;
+    points/intensity/valid additionally shard their point axis over ``pt``;
+    bin_image replicates over ``pt`` (each point shard samples the full
+    image) and shards over ``kf``.
+    """
+
+    def local(points, intensity, valid, bin_image):
+        # points: (K_local, N_local, 3) etc.; bin_image: (K_local, H, W)
+        def per_kf(p, i, v, b):
+            hj, hi, hp, num = nid_histograms(
+                camera, T_camera_lidar, NIDKeyframe(p, i, v, b), bins
+            )
+            # Reduce histogram mass over the point shards.
+            hj = jax.lax.psum(hj, mesh_lib.PT_AXIS)
+            hi = jax.lax.psum(hi, mesh_lib.PT_AXIS)
+            hp = jax.lax.psum(hp, mesh_lib.PT_AXIS)
+            num = jax.lax.psum(num, mesh_lib.PT_AXIS)
+            return nid_from_histograms(hj, hi, hp, num)
+
+        local_sum = jnp.sum(jax.vmap(per_kf)(points, intensity, valid, bin_image))
+        return jax.lax.psum(local_sum, mesh_lib.KF_AXIS)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(mesh_lib.KF_AXIS, mesh_lib.PT_AXIS),  # points
+            P(mesh_lib.KF_AXIS, mesh_lib.PT_AXIS),  # intensity
+            P(mesh_lib.KF_AXIS, mesh_lib.PT_AXIS),  # valid
+            P(mesh_lib.KF_AXIS),  # bin_image (replicated over pt)
+        ),
+        out_specs=P(),
+    )(kfs.points, kfs.intensity, kfs.valid, kfs.bin_image)
+
+
+def make_sharded_loss(mesh: Mesh):
+    """Adapter with the `multi_nid_loss` signature for opt.refine.refine_pose."""
+
+    def loss_fn(camera, T, kfs, bins):
+        return sharded_multi_nid_loss(camera, T, kfs, mesh, bins)
+
+    return loss_fn
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "bins", "max_outer_iterations", "max_inner_iterations"),
+)
+def refine_pose_sharded(
+    camera: cam.PinholeCamera,
+    kfs: NIDKeyframe,
+    T_init: se3.SE3,
+    mesh: Mesh,
+    *,
+    bins: int = 16,
+    max_outer_iterations: int = 10,
+    max_inner_iterations: int = 64,
+):
+    """Multi-device version of opt.refine.refine_pose (same semantics)."""
+    from ..opt.refine import refine_pose
+
+    # refine_pose is itself jitted; calling it inside jit simply inlines.
+    return refine_pose(
+        camera,
+        kfs,
+        T_init,
+        bins=bins,
+        max_outer_iterations=max_outer_iterations,
+        max_inner_iterations=max_inner_iterations,
+        loss_fn=make_sharded_loss(mesh),
+    )

@@ -1,0 +1,256 @@
+"""Pipeline orchestration — the `PointCloudProcessor::process()` equivalent.
+
+Rebuilds the stage sequence of
+`PointCloudProcessor/src/PointCloudProcessor.cpp:1007-1032`:
+
+    loadImagesAndOdometry -> loadPointCloud (crop [+ MLS]) -> selectKeyframes
+    -> viewCulling (+ optional per-keyframe dumps) -> [NID refine]
+    -> colorize + fuse -> save outputs
+
+with one structural difference: stages hand off DEVICE ARRAYS, not ASCII
+PCD files (the reference writes culled clouds to disk at :213-222 and the
+optimizer re-reads them at `visual_camera_calibration.cpp:160-167`).
+Per-keyframe artifact dumps remain available for parity/debugging.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import cloud as cl
+from ..core import se3
+from ..io import images as img_io
+from ..io import odometry as odom_io
+from ..io import pcd
+from ..models import camera as cam
+from ..ops import zbuffer
+from ..opt import nid as nid_mod
+from ..opt import refine
+from ..utils.config import PipelineConfig
+from . import colorize, ingest, keyframes
+
+
+@dataclass
+class PipelineResult:
+    colored_cloud_path: str = ""
+    mask_cloud_path: str = ""
+    num_keyframes: int = 0
+    num_colored_points: int = 0
+    T_correction: Optional[se3.SE3] = None
+    nid_value: float = float("nan")
+    timings: dict = field(default_factory=dict)
+
+
+def _make_camera(cfg: PipelineConfig) -> cam.PinholeCamera:
+    return cam.create_camera(
+        cfg.camera.model,
+        cfg.camera.intrinsic,
+        cfg.camera.distortion,
+        cfg.camera.width,
+        cfg.camera.height,
+    )
+
+
+def _camera_to_world(frames, idx) -> se3.SE3:
+    return se3.SE3(
+        q=se3.quat_normalize(jnp.asarray(np.stack([frames[i].quat_wxyz for i in idx]), jnp.float32)),
+        t=jnp.asarray(np.stack([frames[i].position for i in idx]), jnp.float32),
+    )
+
+
+def cull_keyframe_host(camera, map_cloud, T_c2w, cfg) -> np.ndarray:
+    """Visibility indices for one keyframe (host-compacted)."""
+    T_w2c = se3.inverse(T_c2w)
+    pts_cam, mask = zbuffer.cull_world_points(
+        camera,
+        T_w2c,
+        map_cloud.points,
+        map_cloud.valid,
+        downsample_factor=cfg.culling.downsample_factor,
+        depth_epsilon=cfg.culling.depth_epsilon,
+    )
+    return np.flatnonzero(np.asarray(mask)), np.asarray(pts_cam)
+
+
+def build_nid_keyframes(camera, map_cloud, frames, kf_idx, cfg, save_dir: str = ""):
+    """Cull per keyframe and assemble the padded NIDKeyframe batch.
+
+    Mirrors `viewCullingAndSaveFilteredPcds` (:178-224) + the data loading in
+    `estimate_pose_bfgs` (:160-178), without the disk round-trip (optional
+    dumps preserved when ``save_dir`` is set).
+    """
+    cap = cfg.culled_capacity
+    pts_list, int_list, val_list, bin_list = [], [], [], []
+    norm_cloud = cl.normalize_intensity(map_cloud)
+    for i in kf_idx:
+        T_c2w = se3.SE3(
+            q=se3.quat_normalize(jnp.asarray(frames[i].quat_wxyz, jnp.float32)),
+            t=jnp.asarray(frames[i].position, jnp.float32),
+        )
+        vis_idx, pts_cam = cull_keyframe_host(camera, norm_cloud, T_c2w, cfg)
+        if len(vis_idx) > cap:
+            vis_idx = vis_idx[np.linspace(0, len(vis_idx) - 1, cap).astype(np.int64)]
+        p = np.zeros((cap, 3), np.float32)
+        it = np.zeros((cap,), np.float32)
+        v = np.zeros((cap,), bool)
+        p[: len(vis_idx)] = pts_cam[vis_idx]
+        it[: len(vis_idx)] = np.asarray(norm_cloud.intensity)[vis_idx]
+        v[: len(vis_idx)] = True
+        pts_list.append(p)
+        int_list.append(it)
+        val_list.append(v)
+        gray = img_io.load_gray_normalized(frames[i].image_path)
+        bin_list.append(np.asarray(nid_mod.quantize_image(jnp.asarray(gray), cfg.nid.bins)))
+        if save_dir:
+            ts = ingest.cpp_timestamp(frames[i].timestamp)
+            pcd.write(
+                os.path.join(save_dir, f"{ts}_beforeNID.pcd"),
+                p[: len(vis_idx)],
+                intensity=it[: len(vis_idx)],
+            )
+    return nid_mod.NIDKeyframe(
+        points=jnp.asarray(np.stack(pts_list)),
+        intensity=jnp.asarray(np.stack(int_list)),
+        valid=jnp.asarray(np.stack(val_list)),
+        bin_image=jnp.asarray(np.stack(bin_list)),
+    )
+
+
+def process(cfg: PipelineConfig) -> PipelineResult:
+    """Run the full pipeline per the config. Returns paths + stats."""
+    t_start = time.perf_counter()
+    result = PipelineResult()
+    timings = result.timings
+    camera = _make_camera(cfg)
+    os.makedirs(cfg.output_path, exist_ok=True)
+    filtered_dir = os.path.join(cfg.output_path, "filtered_pcd")
+    os.makedirs(filtered_dir, exist_ok=True)
+
+    # 1. Frames + odometry (loadImagesAndOdometry, :965-1005).
+    frames = ingest.load_frames(cfg.odometry_path, cfg.images_folder, cfg.mask_image_folder)
+    if not frames:
+        raise ValueError("no frames: no odometry lines matched an image file")
+    traj = ingest.frames_trajectory(frames)
+
+    # 2. Map load + trajectory crop (loadPointCloud, :92-154).
+    t0 = time.perf_counter()
+    map_cloud = pcd.read_cloud(cfg.point_cloud_path, capacity=cfg.map_capacity)
+    map_cloud = cl.trajectory_crop(
+        map_cloud, jnp.asarray(traj.positions), padding=cfg.crop_padding
+    )
+    pcd.write_cloud(os.path.join(cfg.output_path, "scans-crop.pcd"), map_cloud)
+    timings["load_crop"] = time.perf_counter() - t0
+
+    if cfg.enable_mls:
+        t0 = time.perf_counter()
+        from ..ops import mls as mls_mod
+
+        map_cloud = mls_mod.smooth_cloud(map_cloud, cfg.mls)
+        pcd.write_cloud(os.path.join(cfg.output_path, "scans-crop_mls.pcd"), map_cloud)
+        timings["mls"] = time.perf_counter() - t0
+
+    # 3. Keyframes (selectKeyframes, :1050-1075).
+    kf_idx = keyframes.select(traj, cfg.keyframes)[: cfg.max_keyframes]
+    result.num_keyframes = len(kf_idx)
+
+    # 4. Culling (+ NID keyframe assembly; viewCullingAndSaveFilteredPcds).
+    t0 = time.perf_counter()
+    kfs = build_nid_keyframes(camera, map_cloud, frames, kf_idx, cfg, save_dir=filtered_dir)
+    timings["culling"] = time.perf_counter() - t0
+
+    # 5. Optional NID pose refinement (applyNIDBasedPoseOptimization, :156-164).
+    T_correction = se3.identity()
+    if cfg.enable_nid_optimize:
+        t0 = time.perf_counter()
+        res = refine.refine_pose(
+            camera,
+            kfs,
+            T_correction,
+            bins=cfg.nid.bins,
+            max_outer_iterations=cfg.nid.max_outer_iterations,
+            max_inner_iterations=cfg.nid.max_inner_iterations,
+            delta_trans_thresh=cfg.nid.delta_trans_thresh,
+            delta_rot_thresh=np.radians(cfg.nid.delta_rot_thresh_deg),
+            trust_region_trans=cfg.nid.trust_region_trans,
+            trust_region_rot=np.radians(cfg.nid.trust_region_rot_deg),
+        )
+        T_correction = res.T_camera_lidar
+        result.nid_value = float(res.nid)
+        timings["nid_refine"] = time.perf_counter() - t0
+    result.T_correction = T_correction
+
+    # 6. Colorize + fuse (pcdColorizationAndSmooth, :474-631).
+    t0 = time.perf_counter()
+    images = np.stack([img_io.load_rgb(frames[i].image_path) for i in kf_idx])
+    masks = None
+    with_masks = bool(cfg.mask_image_folder)
+    if with_masks:
+        loaded = []
+        for i in kf_idx:
+            try:
+                loaded.append(img_io.load_mask(frames[i].mask_path))
+            except (FileNotFoundError, OSError):
+                loaded.append(np.zeros((cfg.camera.height, cfg.camera.width), np.int32))
+        masks = jnp.asarray(np.stack(loaded))
+    poses = _camera_to_world(frames, kf_idx)
+    fused = colorize.fuse(
+        camera,
+        map_cloud.points,
+        map_cloud.valid,
+        jnp.asarray(images),
+        poses,
+        T_correction,
+        mask_images=masks,
+        top_k=cfg.fusion.top_k,
+        downsample_factor=cfg.culling.downsample_factor,
+        depth_epsilon=cfg.culling.depth_epsilon,
+        optimal_distance=cfg.fusion.optimal_distance,
+        score_floor=cfg.fusion.score_floor,
+        saturation_scale=cfg.fusion.saturation_scale,
+        brightness_scale=cfg.fusion.brightness_scale,
+        reference_compat_orientation=cfg.fusion.reference_compat_orientation,
+        with_masks=with_masks,
+    )
+    timings["colorize_fuse"] = time.perf_counter() - t0
+
+    # 7. Save outputs (saveColorizedPointCloud, :866-963).
+    keep = fused.colored if cfg.fusion.drop_uncolored else map_cloud.valid
+    out_cloud = map_cloud._replace(rgb=fused.rgb, valid=keep)
+    out_path = os.path.join(cfg.output_path, "cloudInWorldWithRGB.pcd")
+    pcd.write_cloud(out_path, out_cloud, include=("rgb",))
+    result.colored_cloud_path = out_path
+    result.num_colored_points = int(jnp.sum(keep))
+
+    if with_masks:
+        from ..utils import colormap
+
+        mask_cloud = out_cloud._replace(mask_label=fused.best_label)
+        mask_path = os.path.join(cfg.output_path, "cloudInWorldWithRGBandMask.pcd")
+        # Highlight labelled points in red, as generateSegmentMap does (:806-811).
+        highlight = fused.best_label == cfg.fusion.mask_highlight_value
+        rgb_hl = jnp.where(
+            highlight[:, None], jnp.asarray([255.0, 0.0, 0.0]), fused.rgb
+        )
+        pcd.write_cloud(
+            mask_path,
+            mask_cloud._replace(rgb=rgb_hl),
+            include=("rgb", "mask_label"),
+        )
+        result.mask_cloud_path = mask_path
+        # Jet-colormapped label cloud (generateSegmentMapWithColor, :818-864).
+        mapped = colormap.jet(jnp.asarray(fused.best_label, jnp.float32) / 255.0)
+        pcd.write_cloud(
+            os.path.join(cfg.output_path, "cloudInWorldWithMaskAndMappedColor.pcd"),
+            out_cloud._replace(rgb=mapped * 255.0),
+            include=("rgb",),
+        )
+
+    timings["total"] = time.perf_counter() - t_start
+    return result

@@ -1,0 +1,77 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointcloudprocessor_tpu.core import se3
+from pointcloudprocessor_tpu.opt import nid
+from pointcloudprocessor_tpu.parallel import mesh as mesh_lib
+from pointcloudprocessor_tpu.parallel import nid_shard
+
+from synthetic import simple_camera
+from test_nid import make_keyframe, nid_scene
+
+
+def batched_keyframes(c, k=4, n_pad=None):
+    pts, inten, img = nid_scene(c)
+    kf = make_keyframe(c, pts, inten, img)
+    n = kf.points.shape[0]
+    n_pad = n_pad or n
+    if n_pad != n:
+        pad = n_pad - n
+        kf = nid.NIDKeyframe(
+            points=jnp.pad(kf.points, ((0, pad), (0, 0))),
+            intensity=jnp.pad(kf.intensity, (0, pad)),
+            valid=jnp.pad(kf.valid, (0, pad)),
+            bin_image=kf.bin_image,
+        )
+    return jax.tree.map(lambda a: jnp.stack([a] * k), kf)
+
+
+def test_mesh_shapes():
+    m = mesh_lib.make_mesh(kf=4, pt=2)
+    assert m.shape == {"kf": 4, "pt": 2}
+    m2 = mesh_lib.make_mesh()
+    assert m2.shape["kf"] == len(jax.devices())
+
+
+def test_sharded_nid_matches_unsharded():
+    c = simple_camera()
+    # Point count must divide by pt axis (2): 3600 points -> pad to 3600 (ok).
+    kfs = batched_keyframes(c, k=4)
+    assert kfs.points.shape[1] % 2 == 0
+    m = mesh_lib.make_mesh(kf=4, pt=2)
+    T = se3.exp(jnp.asarray([0.02, 0, -0.01, 0.004, 0, 0.006], jnp.float32))
+    want = float(nid.multi_nid_loss(c, T, kfs))
+    got = float(nid_shard.sharded_multi_nid_loss(c, T, kfs, m))
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+def test_sharded_grad_matches_unsharded():
+    c = simple_camera()
+    kfs = batched_keyframes(c, k=4)
+    m = mesh_lib.make_mesh(kf=4, pt=2)
+
+    def f_ref(xi):
+        return nid.multi_nid_loss(c, se3.exp(xi), kfs)
+
+    def f_shard(xi):
+        return nid_shard.sharded_multi_nid_loss(c, se3.exp(xi), kfs, m)
+
+    xi = jnp.asarray([0.02, -0.01, 0.0, 0.003, 0.0, -0.004], jnp.float32)
+    g_ref = np.asarray(jax.grad(f_ref)(xi))
+    g_shard = np.asarray(jax.grad(f_shard)(xi))
+    np.testing.assert_allclose(g_shard, g_ref, rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_refine_recovers_pose():
+    c = simple_camera()
+    kfs = batched_keyframes(c, k=2)
+    m = mesh_lib.make_mesh(kf=2, pt=4)
+    xi = jnp.asarray([0.02, -0.015, 0.01, 0.006, -0.004, 0.008], jnp.float32)
+    res = nid_shard.refine_pose_sharded(
+        c, kfs, se3.exp(xi), m, max_inner_iterations=60, max_outer_iterations=5
+    )
+    dt, dr = se3.delta_magnitudes(res.T_camera_lidar, se3.identity())
+    assert float(dt) < 0.01
+    assert float(dr) < 0.017453

@@ -1,0 +1,153 @@
+"""End-to-end pipeline test on a synthetic on-disk dataset."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pointcloudprocessor_tpu.io import pcd
+from pointcloudprocessor_tpu.utils.config import (
+    CameraConfig,
+    CullingConfig,
+    PipelineConfig,
+)
+
+from synthetic import simple_camera
+from test_nid import intensity_field
+
+
+W, H, F = 128, 96, 120.0
+
+
+def write_dataset(root, with_masks=False, n_frames=3):
+    """Map + odometry + images; image gray level = intensity field so NID has
+    signal. Cameras slide along +x looking +z at a wall at z=5."""
+    import cv2
+
+    rng = np.random.default_rng(0)
+    os.makedirs(root / "images", exist_ok=True)
+    if with_masks:
+        os.makedirs(root / "masks", exist_ok=True)
+
+    # Wall spanning the swept FoV.
+    n = 6000
+    x = rng.uniform(-3.5, 4.0, n)
+    y = rng.uniform(-2.5, 2.5, n)
+    pts = np.stack([x, y, np.full(n, 5.0)], -1).astype(np.float32)
+    inten = np.clip(intensity_field(x, y), 0, 1).astype(np.float32)
+    pcd.write(str(root / "map.pcd"), pts, intensity=inten)
+
+    lines = []
+    for i in range(n_frames):
+        ts = 100.0 + 0.5 * i
+        px = 0.15 * i
+        lines.append(f"{ts:.6f} {px:.8f} 0.0 0.0 1 0 0 0")
+        # Render the image this camera would see of the wall.
+        uu, vv = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
+        wx = (uu - W / 2) / F * 5.0 + px  # camera at x=px
+        wy = (vv - H / 2) / F * 5.0
+        gray = np.clip(intensity_field(wx, wy), 0, 1)
+        img = (np.stack([gray] * 3, -1) * 255).astype(np.uint8)
+        cv2.imwrite(str(root / "images" / f"{ts:.6f}.jpg"), img[:, :, ::-1])
+        if with_masks:
+            m = np.zeros((H, W), np.uint8)
+            m[:, : W // 2] = 255
+            cv2.imwrite(str(root / "masks" / f"{ts:.6f}.png"), m)
+    (root / "odom.txt").write_text("\n".join(lines) + "\n")
+
+
+def small_config(root, **kw) -> PipelineConfig:
+    cfg = PipelineConfig(
+        point_cloud_path=str(root / "map.pcd"),
+        odometry_path=str(root / "odom.txt"),
+        images_folder=str(root / "images") + os.sep,
+        output_path=str(root / "out") + os.sep,
+        map_capacity=8192,
+        culled_capacity=8192,
+        camera=CameraConfig(
+            intrinsic=(F, F, W / 2, H / 2), distortion=(0, 0, 0, 0, 0), width=W, height=H
+        ),
+        culling=CullingConfig(downsample_factor=4, depth_epsilon=0.3),
+        crop_padding=8.0,  # wall sits 5 m in front of the short trajectory
+        **kw,
+    )
+    cfg.keyframes.distance_threshold = 0.1
+    return cfg
+
+
+def test_e2e_colorize(tmp_path):
+    from pointcloudprocessor_tpu.pipeline import runner
+
+    write_dataset(tmp_path)
+    cfg = small_config(tmp_path)
+    res = runner.process(cfg)
+    assert res.num_keyframes == 3
+    assert res.num_colored_points > 3000
+    out = pcd.read(res.colored_cloud_path)
+    assert out.rgb is not None
+    # Colors encode the intensity field: correlation between sampled gray and
+    # the point's intensity must be strong.
+    data = pcd.read(str(tmp_path / "map.pcd"))
+    # Re-associate by position (output keeps order of kept points).
+    gray_out = out.rgb.mean(-1) / 255.0
+    inten_out = np.clip(intensity_field(out.points[:, 0], out.points[:, 1]), 0, 1)
+    corr = np.corrcoef(gray_out, inten_out)[0, 1]
+    assert corr > 0.95, f"color/intensity correlation {corr}"
+    # scans-crop artifact exists (loadPointCloud parity).
+    assert os.path.exists(str(tmp_path / "out" / "scans-crop.pcd"))
+    # Per-keyframe culled dumps exist (viewCullingAndSaveFilteredPcds parity).
+    dumps = os.listdir(str(tmp_path / "out" / "filtered_pcd"))
+    assert len([d for d in dumps if d.endswith("_beforeNID.pcd")]) == 3
+
+
+def test_e2e_with_nid_refine(tmp_path):
+    from pointcloudprocessor_tpu.core import se3
+    from pointcloudprocessor_tpu.pipeline import runner
+
+    write_dataset(tmp_path)
+    cfg = small_config(tmp_path, enable_nid_optimize=True)
+    cfg.nid.max_inner_iterations = 20
+    cfg.nid.max_outer_iterations = 3
+    res = runner.process(cfg)
+    assert np.isfinite(res.nid_value)
+    # Data is perfectly aligned: correction should stay near identity.
+    dt, dr = se3.delta_magnitudes(res.T_correction, se3.identity())
+    assert float(dt) < 0.05
+    assert float(dr) < 0.05
+
+
+def test_e2e_with_masks(tmp_path):
+    from pointcloudprocessor_tpu.pipeline import runner
+
+    write_dataset(tmp_path, with_masks=True)
+    cfg = small_config(tmp_path, mask_image_folder=str(tmp_path / "masks") + os.sep)
+    res = runner.process(cfg)
+    assert res.mask_cloud_path and os.path.exists(res.mask_cloud_path)
+    out = pcd.read(res.mask_cloud_path)
+    labels = out.mask_label
+    assert labels is not None
+    # Left half of the world (x < first-camera center) is labelled 255.
+    lab_left = labels[out.points[:, 0] < -0.5]
+    lab_right = labels[out.points[:, 0] > 1.5]
+    assert (lab_left == 255).mean() > 0.9
+    assert (lab_right == 0).mean() > 0.9
+    # Highlighted points painted red (generateSegmentMap :806-811 parity).
+    red = out.rgb[labels == 255]
+    assert (red[:, 0] == 255).all() and (red[:, 1] == 0).all()
+    assert os.path.exists(str(tmp_path / "out" / "cloudInWorldWithMaskAndMappedColor.pcd"))
+
+
+def test_cli_dump_config(capsys):
+    from pointcloudprocessor_tpu import cli
+
+    rc = cli.main(["--dump-config"])
+    assert rc == 0
+    cfg = json.loads(capsys.readouterr().out)
+    assert cfg["nid"]["bins"] == 16
+
+
+def test_cli_missing_args():
+    from pointcloudprocessor_tpu import cli
+
+    assert cli.main([]) == 2
