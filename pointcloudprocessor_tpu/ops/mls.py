@@ -1,0 +1,362 @@
+"""Moving-Least-Squares surface smoothing as batched TPU linear algebra.
+
+Replaces `pcl::MovingLeastSquares` as driven by the reference
+(`PointCloudProcessor/src/cloudSmooth.cpp:124-154`, params configured at
+`src/PointCloudProcessor.cpp:67-86`): for every point, fit a local plane to
+its radius neighborhood, then a weighted order-2 bivariate polynomial of
+height over the tangent frame (Gaussian weights ``exp(-d^2/sqr_gauss)``),
+and project the point onto that surface. Optional upsampling regenerates
+extra points on the fitted surfaces (SAMPLE_LOCAL_PLANE /
+RANDOM_UNIFORM_DENSITY / VOXEL_GRID_DILATION, `cloudSmooth.cpp:133-152`).
+
+TPU formulation: neighborhoods come from the grid-hash (:mod:`.knn`), and the
+per-point fits are *batched* normal-equation solves — (N, 6, 6) systems and
+(N, 3, 3) covariance eigenproblems evaluated as one fused chunked pass, not a
+per-point kd-tree walk with 30 OpenMP threads (`cloudSmooth.cpp:130`).
+The full stage (SOR -> MLS -> SOR, `cloudSmooth.cpp:110-164`) is
+:func:`smooth_cloud`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import cloud as cl
+from ..utils.config import MLSConfig
+from . import knn, sor, voxel
+
+
+class MLSSurface(NamedTuple):
+    """Per-point fitted local surface.
+
+    origin: (N, 3) weighted neighborhood mean (frame origin).
+    normal: (N, 3) unit plane normal.
+    tangent_u/tangent_v: (N, 3) orthonormal tangent axes.
+    coeffs: (N, 6) polynomial coefficients of h(u,v) =
+        c0 + c1 u + c2 v + c3 u^2 + c4 uv + c5 v^2.
+    ok: (N,) bool — enough neighbors for a fit (>= 3; polynomial needs >= 6,
+        otherwise coeffs describe the plane, i.e. zeros).
+    """
+
+    origin: jnp.ndarray
+    normal: jnp.ndarray
+    tangent_u: jnp.ndarray
+    tangent_v: jnp.ndarray
+    coeffs: jnp.ndarray
+    ok: jnp.ndarray
+
+
+def _smallest_eigvec_3x3(C: jnp.ndarray) -> jnp.ndarray:
+    """Unit eigenvector of the smallest eigenvalue of symmetric (..., 3, 3).
+
+    Two inverse-iteration steps on (C - sigma I) with sigma just below the
+    smallest Gershgorin bound — branch-free and batched (no LAPACK custom
+    call), robust enough for covariance matrices of surface patches.
+    """
+    tr = jnp.trace(C, axis1=-2, axis2=-1)
+    # Shift so the target eigenvalue is the largest of the inverse; ridge
+    # keeps the solve well-posed when the patch is exactly planar.
+    shift = 1e-6 * (tr[..., None, None] + 1e-12) * jnp.eye(3, dtype=C.dtype)
+    A = C + shift
+    # Inverse iteration: v <- A^-1 v, twice, from a fixed non-degenerate seed.
+    v0 = jnp.ones(C.shape[:-2] + (3,), C.dtype) * jnp.asarray([0.577, 0.577, 0.577], C.dtype)
+    sol = jnp.linalg.solve(A, v0[..., None])[..., 0]
+    sol = sol / jnp.maximum(jnp.linalg.norm(sol, axis=-1, keepdims=True), 1e-20)
+    sol = jnp.linalg.solve(A, sol[..., None])[..., 0]
+    sol = jnp.linalg.solve(A, sol[..., None])[..., 0]
+    return sol / jnp.maximum(jnp.linalg.norm(sol, axis=-1, keepdims=True), 1e-20)
+
+
+def _tangent_frame(n: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Deterministic orthonormal (u, v) completing unit normal n."""
+    # Pick the world axis least aligned with n.
+    ref = jnp.where(
+        (jnp.abs(n[..., 0:1]) < 0.9),
+        jnp.asarray([1.0, 0.0, 0.0], n.dtype),
+        jnp.asarray([0.0, 1.0, 0.0], n.dtype),
+    )
+    u = jnp.cross(n, ref)
+    u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), 1e-20)
+    v = jnp.cross(n, u)
+    return u, v
+
+
+def fit_surfaces(
+    points: jnp.ndarray,
+    queries: jnp.ndarray,
+    neigh_idx: jnp.ndarray,
+    neigh_ok: jnp.ndarray,
+    sqr_gauss_param: float,
+    polynomial_order: int = 2,
+) -> MLSSurface:
+    """Fit the local MLS surface around every query point.
+
+    points: (N, 3) cloud the neighbor indices refer to.
+    queries: (M, 3) fit centers (the cloud itself in the smoothing pass).
+    neigh_idx/neigh_ok: (M, K) from :func:`knn.radius_neighbors`.
+    """
+    q = queries
+    npts = points[jnp.maximum(neigh_idx, 0)]  # (M, K, 3)
+    w = neigh_ok.astype(points.dtype)
+    d2 = jnp.sum((npts - q[:, None, :]) ** 2, axis=-1)
+    # PCL weight: exp(-d^2 / sqr_gauss) (MovingLeastSquares theta), masked.
+    w = w * jnp.exp(-d2 / sqr_gauss_param)
+
+    wsum = jnp.maximum(jnp.sum(w, axis=1), 1e-20)
+    mean = jnp.sum(npts * w[..., None], axis=1) / wsum[:, None]  # (M, 3)
+    centered = (npts - mean[:, None, :]) * jnp.sqrt(w)[..., None]
+    C = jnp.einsum("mki,mkj->mij", centered, centered)  # (M, 3, 3) weighted cov
+    normal = _smallest_eigvec_3x3(C)
+    # Orient towards the query side consistently (sign is arbitrary otherwise).
+    sgn = jnp.sign(jnp.sum(normal * (q - mean), axis=-1))
+    normal = normal * jnp.where(sgn == 0, 1.0, sgn)[:, None]
+    tu, tv = _tangent_frame(normal)
+
+    cnt = jnp.sum(neigh_ok, axis=1)
+    if polynomial_order >= 2:
+        rel = npts - mean[:, None, :]
+        u = jnp.sum(rel * tu[:, None, :], axis=-1)  # (M, K)
+        v = jnp.sum(rel * tv[:, None, :], axis=-1)
+        h = jnp.sum(rel * normal[:, None, :], axis=-1)
+        A = jnp.stack([jnp.ones_like(u), u, v, u * u, u * v, v * v], axis=-1)  # (M, K, 6)
+        Aw = A * w[..., None]
+        AtA = jnp.einsum("mki,mkj->mij", Aw, A)
+        Ath = jnp.einsum("mki,mk->mi", Aw, h)
+        ridge = 1e-8 * jnp.eye(6, dtype=points.dtype)
+        coeffs = jnp.linalg.solve(AtA + ridge, Ath[..., None])[..., 0]
+        # Fall back to the plane (zero coeffs) when under-determined.
+        coeffs = jnp.where((cnt >= 6)[:, None], coeffs, jnp.zeros_like(coeffs))
+    else:
+        coeffs = jnp.zeros(q.shape[:1] + (6,), points.dtype)
+
+    return MLSSurface(
+        origin=mean, normal=normal, tangent_u=tu, tangent_v=tv,
+        coeffs=coeffs, ok=cnt >= 3,
+    )
+
+
+def project_onto(surf: MLSSurface, pts: jnp.ndarray, owner: jnp.ndarray | None = None):
+    """Project points onto (their own / ``owner``'s) fitted surface.
+
+    Returns (positions, normals). Matches PCL's SIMPLE projection: express
+    the point in the local frame, replace its height by the polynomial value,
+    and tilt the normal by the polynomial gradient.
+    """
+    s = surf if owner is None else jax.tree.map(lambda a: a[owner], surf)
+    rel = pts - s.origin
+    u = jnp.sum(rel * s.tangent_u, axis=-1)
+    v = jnp.sum(rel * s.tangent_v, axis=-1)
+    c = s.coeffs
+    h = c[..., 0] + c[..., 1] * u + c[..., 2] * v + c[..., 3] * u * u + c[..., 4] * u * v + c[..., 5] * v * v
+    pos = s.origin + u[..., None] * s.tangent_u + v[..., None] * s.tangent_v + h[..., None] * s.normal
+    du = c[..., 1] + 2.0 * c[..., 3] * u + c[..., 4] * v
+    dv = c[..., 2] + c[..., 4] * u + 2.0 * c[..., 5] * v
+    n = s.normal - du[..., None] * s.tangent_u - dv[..., None] * s.tangent_v
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    pos = jnp.where(s.ok[..., None], pos, pts)
+    return pos, n
+
+
+@functools.partial(jax.jit, static_argnames=("sqr_gauss_param", "polynomial_order"))
+def _fit_chunk(points, q, idx, ok, sqr_gauss_param, polynomial_order):
+    surf = fit_surfaces(points, q, idx, ok, sqr_gauss_param, polynomial_order)
+    pos, nrm = project_onto(surf, q)
+    return surf, pos, nrm
+
+
+def mls_smooth(
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    cfg: MLSConfig,
+    chunk_size: int = 16384,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, MLSSurface]:
+    """Smooth every valid point onto its local MLS surface.
+
+    Returns (positions (N,3), normals (N,3), ok (N,), surfaces). Points whose
+    neighborhood is too small keep their position with ok=False (PCL drops
+    them from the output; callers AND `ok` into validity).
+    """
+    n = points.shape[0]
+    grid = knn.build(
+        points, valid, cell_size=cfg.search_radius,
+        table_size=max(2 * n, 1024), bucket_capacity=cfg.bucket_capacity,
+    )
+
+    pad = (-n) % chunk_size
+    qp = jnp.pad(points, ((0, pad), (0, 0)))
+    chunks_pos, chunks_nrm, chunks_ok, chunk_surfs = [], [], [], []
+    for start in range(0, n + pad, chunk_size):
+        q = jax.lax.dynamic_slice_in_dim(qp, start, chunk_size)
+        idx, _, ok = knn.radius_neighbors(
+            grid, points, q, cfg.search_radius, cfg.max_neighbors
+        )
+        surf, pos, nrm = _fit_chunk(
+            points, q, idx, ok, cfg.sqr_gauss_param, cfg.polynomial_order
+        )
+        chunks_pos.append(pos)
+        chunks_nrm.append(nrm)
+        chunks_ok.append(surf.ok)
+        chunk_surfs.append(surf)
+    pos = jnp.concatenate(chunks_pos)[:n]
+    nrm = jnp.concatenate(chunks_nrm)[:n]
+    ok = jnp.concatenate(chunks_ok)[:n] & valid
+    surf = jax.tree.map(lambda *a: jnp.concatenate(a)[:n], *chunk_surfs)
+    return pos, nrm, ok, surf
+
+
+# ---------------------------------------------------------------------------
+# Upsampling (`cloudSmooth.cpp:133-152`)
+# ---------------------------------------------------------------------------
+
+
+def _disc_offsets(radius: float, step: float) -> np.ndarray:
+    """Static (S, 2) grid of (du, dv) offsets within the disc — the
+    SAMPLE_LOCAL_PLANE pattern (`cloudSmooth.cpp:136-139` params)."""
+    ax = np.arange(-radius, radius + step * 0.5, step)
+    du, dv = np.meshgrid(ax, ax)
+    m = du**2 + dv**2 <= radius**2
+    return np.stack([du[m], dv[m]], axis=-1).astype(np.float32)
+
+
+def upsample_local_plane(surf: MLSSurface, valid: jnp.ndarray, cfg: MLSConfig):
+    """SAMPLE_LOCAL_PLANE: regenerate a disc of surface samples per point."""
+    offs = jnp.asarray(_disc_offsets(cfg.slp_upsampling_radius, cfg.slp_upsampling_stepsize))
+    s = offs.shape[0]
+    base = surf.origin[:, None, :] + (
+        offs[None, :, 0:1] * surf.tangent_u[:, None, :]
+        + offs[None, :, 1:2] * surf.tangent_v[:, None, :]
+    )  # (N, S, 3)
+    n_total = base.shape[0] * s
+    pts = base.reshape(n_total, 3)
+    owner = jnp.repeat(jnp.arange(base.shape[0], dtype=jnp.int32), s)
+    pos, nrm = project_onto(surf, pts, owner=owner)
+    ok = (valid & surf.ok)[owner]
+    return pos, nrm, ok, owner
+
+
+def upsample_random_density(surf: MLSSurface, valid: jnp.ndarray, cfg: MLSConfig, key):
+    """RANDOM_UNIFORM_DENSITY: ``rud_point_density`` uniform samples in the
+    search-radius disc per point (`cloudSmooth.cpp:141-144`)."""
+    s = int(cfg.rud_point_density)
+    n = surf.origin.shape[0]
+    k1, k2 = jax.random.split(key)
+    r = cfg.search_radius * jnp.sqrt(jax.random.uniform(k1, (n, s)))
+    th = 2.0 * jnp.pi * jax.random.uniform(k2, (n, s))
+    du, dv = r * jnp.cos(th), r * jnp.sin(th)
+    base = (
+        surf.origin[:, None, :]
+        + du[..., None] * surf.tangent_u[:, None, :]
+        + dv[..., None] * surf.tangent_v[:, None, :]
+    )
+    pts = base.reshape(n * s, 3)
+    owner = jnp.repeat(jnp.arange(n, dtype=jnp.int32), s)
+    pos, nrm = project_onto(surf, pts, owner=owner)
+    ok = (valid & surf.ok)[owner]
+    return pos, nrm, ok, owner
+
+
+def _dilate_voxels_host(coords: np.ndarray, iterations: int) -> np.ndarray:
+    """Host-side binary dilation of an integer voxel set (VOXEL_GRID_DILATION
+    grid step, `pcl::MLSResult` dilation). Set ops on packed int64 keys."""
+    offs = np.array(
+        [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+        np.int64,
+    )
+    cur = np.unique(coords.astype(np.int64), axis=0)
+    for _ in range(iterations):
+        grown = (cur[:, None, :] + offs[None, :, :]).reshape(-1, 3)
+        # Pack to a single key for uniqueness (21 bits per axis, offset).
+        key = ((grown[:, 0] + (1 << 20)) << 42) | ((grown[:, 1] + (1 << 20)) << 21) | (
+            grown[:, 2] + (1 << 20)
+        )
+        _, first = np.unique(key, return_index=True)
+        cur = grown[first]
+    return cur
+
+
+def upsample_voxel_grid_dilation(
+    points_np: np.ndarray, surf: MLSSurface, valid_np: np.ndarray, cfg: MLSConfig
+):
+    """VOXEL_GRID_DILATION: dilate the occupied-voxel set and project every
+    voxel center onto the MLS surface of its nearest source point
+    (`cloudSmooth.cpp:146-152`; voxel/iters at `PointCloudProcessor.cpp:80-81`).
+    Dilation runs host-side (dynamic cardinality); projection on device.
+    """
+    vs = cfg.vgd_voxel_size
+    occ = np.floor(points_np[valid_np] / vs).astype(np.int64)
+    cells = _dilate_voxels_host(occ, cfg.vgd_iterations)
+    centers = (cells.astype(np.float32) + 0.5) * vs
+
+    # Nearest source point per center via the device hash grid.
+    pts = jnp.asarray(points_np)
+    grid = knn.build(
+        pts, jnp.asarray(valid_np),
+        cell_size=max(vs * (cfg.vgd_iterations + 1), cfg.search_radius),
+        table_size=max(2 * len(points_np), 1024),
+        bucket_capacity=cfg.bucket_capacity,
+    )
+    idx, _, ok = knn.chunked_radius_neighbors(
+        grid, pts, jnp.asarray(centers),
+        radius=max(vs * (cfg.vgd_iterations + 1), cfg.search_radius),
+        max_neighbors=1,
+    )
+    owner = jnp.maximum(idx[:, 0], 0)
+    pos, nrm = project_onto(surf, jnp.asarray(centers), owner=owner)
+    return pos, nrm, ok[:, 0] & surf.ok[owner], owner
+
+
+# ---------------------------------------------------------------------------
+# Full stage
+# ---------------------------------------------------------------------------
+
+
+def smooth_cloud(cloud: cl.PointCloud, cfg: MLSConfig, key=None) -> cl.PointCloud:
+    """SOR -> MLS (+ upsampling) -> SOR, the `CloudSmooth::process` stage
+    (`cloudSmooth.cpp:77-181`). Returns a cloud whose capacity may exceed the
+    input's when upsampling multiplies the point count.
+    """
+    inlier = sor.sor_mask(
+        cloud.points, cloud.valid, mean_k=cfg.sor_mean_k, std_mult=cfg.sor_std_dev,
+        cell_size=max(cfg.search_radius * 4.0, 0.25),
+        bucket_capacity=max(cfg.bucket_capacity, cfg.sor_mean_k),
+    )
+    valid = cloud.valid & inlier
+
+    pos, nrm, ok, surf = mls_smooth(cloud.points, valid, cfg)
+    method = cfg.upsampling.lower()
+    if method in ("none", ""):
+        out = cloud._replace(points=pos, normals=nrm if cfg.compute_normals else None,
+                             valid=valid & ok)
+    else:
+        if method == "sample_local_plane":
+            up_pos, up_nrm, up_ok, owner = upsample_local_plane(surf, valid, cfg)
+        elif method == "random_uniform_density":
+            key = key if key is not None else jax.random.PRNGKey(0)
+            up_pos, up_nrm, up_ok, owner = upsample_random_density(surf, valid, cfg, key)
+        elif method == "voxel_grid_dilation":
+            up_pos, up_nrm, up_ok, owner = upsample_voxel_grid_dilation(
+                np.asarray(cloud.points), surf, np.asarray(valid), cfg
+            )
+        else:
+            raise ValueError(f"unknown MLS upsampling method: {cfg.upsampling!r}")
+        out = cl.PointCloud(
+            points=up_pos,
+            intensity=cloud.intensity[owner],
+            valid=up_ok,
+            rgb=None if cloud.rgb is None else cloud.rgb[owner],
+            mask_label=None if cloud.mask_label is None else cloud.mask_label[owner],
+            normals=up_nrm if cfg.compute_normals else None,
+        )
+
+    # Second SOR pass (`cloudSmooth.cpp:160-164`).
+    inlier2 = sor.sor_mask(
+        out.points, out.valid, mean_k=cfg.sor_mean_k, std_mult=cfg.sor_std_dev,
+        cell_size=max(cfg.search_radius * 4.0, 0.25),
+        bucket_capacity=max(cfg.bucket_capacity, cfg.sor_mean_k),
+    )
+    return out._replace(valid=out.valid & inlier2)

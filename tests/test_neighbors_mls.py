@@ -1,0 +1,168 @@
+"""Grid-hash neighbor search, SOR, and MLS smoothing.
+
+Reference semantics targeted: kd-tree radius search (PCL, used at
+`cloudSmooth.cpp:83,127` and `PointCloudProcessor.cpp:480-482`), SOR
+(`cloudSmooth.cpp:110-115`, k=60 sigma=0.7), and MovingLeastSquares plane /
+order-2 polynomial recovery (`cloudSmooth.cpp:124-154`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointcloudprocessor_tpu.core import cloud as cl
+from pointcloudprocessor_tpu.ops import knn, mls, sor
+from pointcloudprocessor_tpu.utils.config import MLSConfig
+
+
+def _random_cloud(n=500, seed=0, scale=2.0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-scale, scale, size=(n, 3)).astype(np.float32)
+
+
+class TestRadiusNeighbors:
+    def test_matches_bruteforce(self):
+        pts = _random_cloud(400)
+        radius = 0.5
+        grid = knn.build(
+            jnp.asarray(pts), jnp.ones((len(pts),), bool),
+            cell_size=radius, table_size=2048, bucket_capacity=64,
+        )
+        idx, dist, ok = knn.radius_neighbors(
+            grid, jnp.asarray(pts), jnp.asarray(pts[:50]), radius, max_neighbors=64
+        )
+        idx, dist, ok = np.asarray(idx), np.asarray(dist), np.asarray(ok)
+        d_all = np.linalg.norm(pts[None, :50] - pts[:, None], axis=-1).T  # (50, N)
+        for q in range(50):
+            expected = set(np.flatnonzero(d_all[q] <= radius))
+            got = set(idx[q][ok[q]])
+            assert got == expected, f"query {q}: {got ^ expected}"
+            # nearest-first ordering
+            dd = dist[q][ok[q]]
+            assert np.all(np.diff(dd) >= -1e-6)
+
+    def test_invalid_points_excluded(self):
+        pts = _random_cloud(100)
+        valid = np.ones((100,), bool)
+        valid[::2] = False
+        grid = knn.build(jnp.asarray(pts), jnp.asarray(valid), 0.7, 512, 32)
+        idx, _, ok = knn.radius_neighbors(
+            grid, jnp.asarray(pts), jnp.asarray(pts[:10]), 0.7, 32
+        )
+        found = np.asarray(idx)[np.asarray(ok)]
+        assert np.all(found % 2 == 1)
+
+    def test_exclude_self(self):
+        pts = _random_cloud(64)
+        grid = knn.build(jnp.asarray(pts), jnp.ones((64,), bool), 0.5, 256, 32)
+        idx, _, ok = knn.chunked_radius_neighbors(
+            grid, jnp.asarray(pts), jnp.asarray(pts), 0.5, 16,
+            chunk_size=32, exclude_self=True,
+        )
+        idx, ok = np.asarray(idx), np.asarray(ok)
+        for q in range(64):
+            assert q not in set(idx[q][ok[q]])
+
+
+class TestSOR:
+    def test_removes_isolated_outliers(self):
+        rng = np.random.default_rng(1)
+        plane = rng.uniform(-1, 1, size=(800, 3)).astype(np.float32)
+        plane[:, 2] = 0.0
+        outliers = np.array([[5.0, 5.0, 5.0], [-6.0, 2.0, 9.0]], np.float32)
+        pts = np.concatenate([plane, outliers])
+        mask = sor.sor_mask(
+            jnp.asarray(pts), jnp.ones((len(pts),), bool),
+            mean_k=20, std_mult=2.0, cell_size=0.5,
+        )
+        mask = np.asarray(mask)
+        assert not mask[-1] and not mask[-2]
+        assert mask[:800].mean() > 0.9
+
+
+class TestMLS:
+    def test_plane_denoising(self):
+        rng = np.random.default_rng(2)
+        n = 1500
+        pts = np.zeros((n, 3), np.float32)
+        pts[:, :2] = rng.uniform(-1, 1, size=(n, 2))
+        pts[:, 2] = rng.normal(0, 0.01, size=n)  # noise off the z=0 plane
+        cfg = MLSConfig(search_radius=0.25, sqr_gauss_param=0.25**2,
+                        max_neighbors=48, bucket_capacity=64)
+        pos, nrm, ok, _ = mls.mls_smooth(
+            jnp.asarray(pts), jnp.ones((n,), bool), cfg, chunk_size=512
+        )
+        pos, nrm, ok = np.asarray(pos), np.asarray(nrm), np.asarray(ok)
+        assert ok.mean() > 0.95
+        # Smoothed heights shrink towards the plane.
+        before = np.abs(pts[ok, 2]).mean()
+        after = np.abs(pos[ok, 2]).mean()
+        assert after < 0.5 * before
+        # Normals align with +-z.
+        interior = ok & (np.abs(pts[:, 0]) < 0.7) & (np.abs(pts[:, 1]) < 0.7)
+        assert np.abs(nrm[interior, 2]).mean() > 0.98
+
+    def test_quadric_recovery(self):
+        # Points exactly on z = x^2 + y^2 must project (near-)onto itself.
+        rng = np.random.default_rng(3)
+        n = 2000
+        xy = rng.uniform(-0.5, 0.5, size=(n, 2)).astype(np.float32)
+        pts = np.concatenate([xy, (xy**2).sum(-1, keepdims=True)], -1).astype(np.float32)
+        cfg = MLSConfig(search_radius=0.15, sqr_gauss_param=0.15**2,
+                        max_neighbors=48, bucket_capacity=64)
+        pos, _, ok, _ = mls.mls_smooth(
+            jnp.asarray(pts), jnp.ones((n,), bool), cfg, chunk_size=512
+        )
+        pos, ok = np.asarray(pos), np.asarray(ok)
+        resid = np.abs(pos[ok, 2] - (pos[ok, 0] ** 2 + pos[ok, 1] ** 2))
+        assert resid.mean() < 5e-3
+
+    def test_upsample_local_plane_on_surface(self):
+        rng = np.random.default_rng(4)
+        n = 600
+        pts = np.zeros((n, 3), np.float32)
+        pts[:, :2] = rng.uniform(-1, 1, size=(n, 2))
+        cfg = MLSConfig(search_radius=0.3, sqr_gauss_param=0.09,
+                        upsampling="sample_local_plane",
+                        slp_upsampling_radius=0.05, slp_upsampling_stepsize=0.025,
+                        max_neighbors=32, bucket_capacity=64)
+        _, _, ok, surf = mls.mls_smooth(jnp.asarray(pts), jnp.ones((n,), bool), cfg,
+                                        chunk_size=512)
+        up_pos, _, up_ok, owner = mls.upsample_local_plane(surf, jnp.asarray(ok), cfg)
+        up_pos, up_ok = np.asarray(up_pos), np.asarray(up_ok)
+        assert up_ok.sum() > n  # upsampling multiplied the count
+        assert np.abs(up_pos[up_ok, 2]).max() < 0.02  # stays on the plane
+
+    def test_smooth_cloud_end_to_end(self):
+        rng = np.random.default_rng(5)
+        n = 800
+        pts = np.zeros((n, 3), np.float32)
+        pts[:, :2] = rng.uniform(-1, 1, size=(n, 2))
+        pts[:, 2] = rng.normal(0, 0.005, size=n)
+        pts[0] = [9, 9, 9]  # outlier the SOR must eat
+        pc = cl.make(pts, intensity=np.arange(n, dtype=np.float32))
+        cfg = MLSConfig(search_radius=0.25, sqr_gauss_param=0.0625,
+                        upsampling="none", sor_mean_k=15, sor_std_dev=2.0,
+                        max_neighbors=32, bucket_capacity=64)
+        out = mls.smooth_cloud(pc, cfg)
+        v = np.asarray(out.valid)
+        assert not v[0]
+        assert v.mean() > 0.9
+        assert np.abs(np.asarray(out.points)[v, 2]).mean() < 0.003
+
+    def test_smooth_cloud_vgd(self):
+        rng = np.random.default_rng(6)
+        n = 300
+        pts = np.zeros((n, 3), np.float32)
+        pts[:, :2] = rng.uniform(-0.5, 0.5, size=(n, 2))
+        pc = cl.make(pts, intensity=np.ones(n, np.float32))
+        cfg = MLSConfig(search_radius=0.3, sqr_gauss_param=0.09,
+                        upsampling="voxel_grid_dilation",
+                        vgd_voxel_size=0.05, vgd_iterations=1,
+                        sor_mean_k=10, sor_std_dev=3.0,
+                        max_neighbors=32, bucket_capacity=64)
+        out = mls.smooth_cloud(pc, cfg)
+        v = np.asarray(out.valid)
+        assert v.sum() > n  # dilation upsampled
+        assert np.abs(np.asarray(out.points)[v, 2]).max() < 0.02
