@@ -129,11 +129,17 @@ def fuse(
     """Colorize the map from all keyframes and blend top-K observations.
 
     The correction composes as ``T_c2w_optimized = T_c2w * T_correction``
-    (`PointCloudProcessor.cpp:507,516`). Keyframes stream through `lax.scan`
-    so only one image is resident in VMEM-adjacent working set at a time;
-    the per-point top-K registers are the only cross-keyframe state.
+    (`PointCloudProcessor.cpp:507,516`); it may be a single transform (NID)
+    or batched per keyframe (manual per-keyframe poses, the
+    `frame->getManualOptimizedPose()` branch at :510-519). Keyframes stream
+    through `lax.scan` so only one image is resident in VMEM-adjacent
+    working set at a time; the per-point top-K registers are the only
+    cross-keyframe state.
     """
     n = points_world.shape[0]
+    k = images.shape[0]
+    corr_q = jnp.broadcast_to(T_correction.q, (k, 4))
+    corr_t = jnp.broadcast_to(T_correction.t, (k, 3))
     state0 = (
         fusion.init_topk(n, top_k),
         jnp.full((n,), -jnp.inf, jnp.float32),  # best score (for label)
@@ -144,11 +150,11 @@ def fuse(
     def step(state, inputs):
         topk, best_s, best_l, count = state
         if with_masks and mask_images is not None:
-            image, pose_q, pose_t, mask_img = inputs
+            image, pose_q, pose_t, cq, ct, mask_img = inputs
         else:
-            image, pose_q, pose_t = inputs
+            image, pose_q, pose_t, cq, ct = inputs
             mask_img = None
-        T_c2w = se3.compose(se3.SE3(pose_q, pose_t), T_correction)
+        T_c2w = se3.compose(se3.SE3(pose_q, pose_t), se3.SE3(cq, ct))
         T_w2c = se3.inverse(T_c2w)
         obs = observe_keyframe(
             camera,
@@ -176,9 +182,9 @@ def fuse(
         return (topk, best_s, best_l, count), None
 
     xs = (
-        (images, kf_poses.q, kf_poses.t, mask_images)
+        (images, kf_poses.q, kf_poses.t, corr_q, corr_t, mask_images)
         if (with_masks and mask_images is not None)
-        else (images, kf_poses.q, kf_poses.t)
+        else (images, kf_poses.q, kf_poses.t, corr_q, corr_t)
     )
     (topk, best_s, best_l, count), _ = jax.lax.scan(step, state0, xs)
     rgb, colored = fusion.blend_topk(topk)

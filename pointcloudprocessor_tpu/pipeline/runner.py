@@ -186,6 +186,28 @@ def process(cfg: PipelineConfig) -> PipelineResult:
         timings["nid_refine"] = time.perf_counter() - t0
     result.T_correction = T_correction
 
+    # 5b. Optional manual initial guess from picked 2D-3D pairs
+    # (applyInitialGuessManual, :166-176; headless — see manual_guess.py).
+    # Per-keyframe manual poses take precedence over the shared NID
+    # correction, as in the colorization branch at :510-519.
+    if cfg.enable_manual_guess and cfg.correspondences_path:
+        t0 = time.perf_counter()
+        from . import manual_guess
+
+        manual, have = manual_guess.estimate_keyframe_corrections(
+            camera, frames, kf_idx, cfg.correspondences_path, cfg.pnp
+        )
+        have_arr = jnp.asarray(np.asarray(have, bool))
+        T_correction = se3.SE3(
+            q=jnp.where(have_arr[:, None], manual.q, T_correction.q),
+            t=jnp.where(have_arr[:, None], manual.t, T_correction.t),
+        )
+        manual_guess.save_corrections_json(
+            os.path.join(cfg.output_path, "manual_poses.json"),
+            frames, kf_idx, manual, have,
+        )
+        timings["manual_guess"] = time.perf_counter() - t0
+
     # 6. Colorize + fuse (pcdColorizationAndSmooth, :474-631).
     t0 = time.perf_counter()
     images = np.stack([img_io.load_rgb(frames[i].image_path) for i in kf_idx])

@@ -119,6 +119,17 @@ class NIDConfig:
 
 
 @dataclass
+class PnPConfig:
+    """2D-3D pose estimation (`estimate_pose.hpp:11-19` defaults)."""
+
+    ransac_iterations: int = 8192
+    error_thresh_px: float = 5.0
+    cauchy_kernel_px: float = 10.0
+    lsq_iterations: int = 20
+    seed: int = 8192
+
+
+@dataclass
 class FusionConfig:
     """Multi-view color fusion (`PointCloudProcessor.cpp:557-629`)."""
 
@@ -146,6 +157,10 @@ class PipelineConfig:
     enable_mls: bool = False
     enable_nid_optimize: bool = False
     enable_manual_guess: bool = False  # GUI-free: consumes picked 2D-3D pairs
+    # JSON of picked correspondences for the manual-guess path (see
+    # pipeline/manual_guess.py for the schema); the headless stand-in for the
+    # reference's interactive picker (`initial_guess_manual.hpp:29-355`).
+    correspondences_path: str = ""
     crop_padding: float = 2.0  # PointCloudProcessor.cpp:106
 
     # Static capacities (XLA shapes). Clouds are padded to these.
@@ -159,6 +174,7 @@ class PipelineConfig:
     culling: CullingConfig = field(default_factory=CullingConfig)
     mls: MLSConfig = field(default_factory=MLSConfig)
     nid: NIDConfig = field(default_factory=NIDConfig)
+    pnp: PnPConfig = field(default_factory=PnPConfig)
     fusion: FusionConfig = field(default_factory=FusionConfig)
 
     # ------------------------------------------------------------------
@@ -196,5 +212,6 @@ _NESTED = {
     "CullingConfig": CullingConfig,
     "MLSConfig": MLSConfig,
     "NIDConfig": NIDConfig,
+    "PnPConfig": PnPConfig,
     "FusionConfig": FusionConfig,
 }

@@ -151,3 +151,43 @@ def test_cli_missing_args():
     from pointcloudprocessor_tpu import cli
 
     assert cli.main([]) == 2
+
+
+def test_e2e_manual_guess(tmp_path):
+    """Headless manual initial-guess path: correspondences JSON -> per-keyframe
+    pose (applyInitialGuessManual parity, headless seam)."""
+    import jax.numpy as jnp
+
+    from pointcloudprocessor_tpu.core import se3
+    from pointcloudprocessor_tpu.pipeline import runner
+
+    write_dataset(tmp_path)
+    # Ground-truth correspondences for keyframe 0 (camera at x=0 looking +z):
+    # wall points at z=5 project through the ideal pinhole.
+    rng = np.random.default_rng(7)
+    n = 12
+    u = rng.uniform(10, W - 10, n)
+    v = rng.uniform(10, H - 10, n)
+    z = np.full(n, 5.0)
+    pts_cam = np.stack([(u - W / 2) / F * 5.0, (v - H / 2) / F * 5.0, z], -1)
+    corr = {"100.000000": {"pixels": np.stack([u, v], -1).tolist(),
+                           "points": pts_cam.tolist()}}
+    (tmp_path / "picks.json").write_text(json.dumps(corr))
+
+    cfg = small_config(
+        tmp_path,
+        enable_manual_guess=True,
+        correspondences_path=str(tmp_path / "picks.json"),
+    )
+    res = runner.process(cfg)
+    assert res.num_colored_points > 3000
+    saved = json.loads((tmp_path / "out" / "manual_poses.json").read_text())
+    assert list(saved) == ["100.000000"]
+    # Correspondences are exact => estimated correction ~ identity.
+    q = np.asarray(saved["100.000000"]["quat_wxyz"])
+    t = np.asarray(saved["100.000000"]["translation"])
+    dt, dr = se3.delta_magnitudes(
+        se3.SE3(jnp.asarray(q, jnp.float32), jnp.asarray(t, jnp.float32)),
+        se3.identity(),
+    )
+    assert float(dt) < 0.02 and float(np.degrees(float(dr))) < 0.5
