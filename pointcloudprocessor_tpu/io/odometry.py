@@ -56,15 +56,34 @@ def write(path: str, traj: Trajectory) -> None:
 
 def resample(traj: Trajectory, query_times: np.ndarray) -> Trajectory:
     """Interpolate the track at query timestamps (slerp + lerp) — the job of
-    `make_vo_odom_for_fastlio.py:86-109` / `pose_interp.py:25-138`, as one
-    vectorised call."""
-    q, p = se3.interpolate_trajectory(
-        jnp.asarray(traj.times, jnp.float64 if traj.times.dtype == np.float64 else jnp.float32),
-        jnp.asarray(traj.quats_wxyz, jnp.float32),
-        jnp.asarray(traj.positions, jnp.float32),
-        jnp.asarray(query_times),
+    `make_vo_odom_for_fastlio.py:86-109` / `pose_interp.py:25-138`.
+
+    Bracket indices + fractions are computed in HOST float64: epoch
+    timestamps (~1e9 s) lose sub-second precision in on-device float32 (the
+    reference converts to integer microseconds for the same reason,
+    `make_vo_odom_for_fastlio.py:98`). Only the slerp itself runs as f32
+    array math. Queries outside the track span clamp to the ends.
+    """
+    times = np.asarray(traj.times, np.float64)
+    t = np.clip(np.asarray(query_times, np.float64), times[0], times[-1])
+    upper = np.clip(np.searchsorted(times, t, side="right"), 1, len(times) - 1)
+    lower = upper - 1
+    dt = times[upper] - times[lower]
+    frac = np.where(dt > 0, (t - times[lower]) / np.maximum(dt, 1e-12), 0.0)
+
+    q = se3.quat_normalize(se3.quat_slerp(
+        jnp.asarray(traj.quats_wxyz[lower], jnp.float32),
+        jnp.asarray(traj.quats_wxyz[upper], jnp.float32),
+        jnp.asarray(frac, jnp.float32),
+    ))
+    p = (1.0 - frac)[:, None] * np.asarray(traj.positions[lower], np.float64) + frac[
+        :, None
+    ] * np.asarray(traj.positions[upper], np.float64)
+    return Trajectory(
+        times=np.asarray(query_times),
+        positions=p.astype(np.float32),
+        quats_wxyz=np.asarray(q),
     )
-    return Trajectory(times=np.asarray(query_times), positions=np.asarray(p), quats_wxyz=np.asarray(q))
 
 
 def poses(traj: Trajectory) -> se3.SE3:

@@ -1,3 +1,3 @@
-from . import nid, bfgs, refine
+from . import bfgs, dfo, nid, pnp, refine
 
-__all__ = ["nid", "bfgs", "refine"]
+__all__ = ["bfgs", "dfo", "nid", "pnp", "refine"]
