@@ -180,3 +180,65 @@ class TestDiagnosticsAndPlots:
         traj = odom_io.read(str(src))
         out = odom_io.resample(traj, np.asarray([t0 + 0.25]))
         np.testing.assert_allclose(out.positions[0, 0], 0.25, atol=1e-4)
+
+
+class TestVisualization:
+    def test_overlay_intensity(self):
+        import jax.numpy as jnp
+
+        from pointcloudprocessor_tpu.utils import viz
+
+        camera = simple_camera(w=64, h=48, f=60.0)
+        img = jnp.zeros((48, 64, 3), jnp.uint8)
+        # One point projecting to the center pixel with intensity 1 (turbo red).
+        pts = jnp.asarray([[0.0, 0.0, 2.0]])
+        out = viz.overlay_intensity(
+            camera, img, pts, jnp.asarray([1.0]), jnp.asarray([True]), blend=1.0
+        )
+        out = np.asarray(out)
+        assert out[24, 32, 0] > 100  # turbo(1.0) is dark red
+        assert out[0, 0].sum() == 0  # background untouched
+
+    def test_overlay_blend_zero_keeps_image(self):
+        import jax.numpy as jnp
+
+        from pointcloudprocessor_tpu.utils import viz
+
+        camera = simple_camera(w=32, h=24, f=30.0)
+        img = jnp.full((24, 32, 3), 99, jnp.uint8)
+        pts = jnp.asarray([[0.0, 0.0, 1.0]])
+        out = viz.overlay_intensity(
+            camera, img, pts, jnp.asarray([0.5]), jnp.asarray([True]), blend=0.0
+        )
+        np.testing.assert_allclose(np.asarray(out), 99.0)
+
+    def test_visualize_cli(self, tmp_path):
+        import cv2
+
+        from pointcloudprocessor_tpu.io import pcd
+        from pointcloudprocessor_tpu.tools import visualize
+
+        rng = np.random.default_rng(0)
+        n = 300
+        pts = np.stack([
+            rng.uniform(-1, 1, n), rng.uniform(-0.8, 0.8, n), np.full(n, 3.0)
+        ], -1).astype(np.float32)
+        pcd.write(str(tmp_path / "c.pcd"), pts, intensity=rng.uniform(0, 1, n).astype(np.float32))
+        cv2.imwrite(str(tmp_path / "i.jpg"), np.full((48, 64, 3), 30, np.uint8))
+
+        rc = visualize.main([
+            "overlay", "--cloud", str(tmp_path / "c.pcd"), "--image", str(tmp_path / "i.jpg"),
+            "--intrinsic", "60", "60", "32", "24",
+            "--output", str(tmp_path / "ov.png"),
+        ])
+        assert rc == 0
+        ov = cv2.imread(str(tmp_path / "ov.png"))
+        assert ov.shape == (48, 64, 3)
+        assert ov.max() > 60  # points drawn over the dark image
+
+        rc = visualize.main([
+            "cloud", "--cloud", str(tmp_path / "c.pcd"),
+            "--output", str(tmp_path / "cl.png"),
+        ])
+        assert rc == 0
+        assert os.path.getsize(str(tmp_path / "cl.png")) > 5_000
