@@ -2,14 +2,19 @@
 
 Replaces the reference's use of `pcl::io::loadPCDFile` / `PCDWriter::writeASCII`
 (`PointCloudProcessor/src/PointCloudProcessor.cpp:112,135,217,542,920`).
-Supports ASCII and binary (uncompressed) DATA sections and the field layouts
-the reference reads/writes:
+Supports ASCII, binary, and binary_compressed (PCL LZF) DATA sections and
+the field layouts the reference reads/writes:
 
 * ``x y z intensity``  — input maps and culled keyframe clouds,
 * ``x y z rgb``        — colorized output (PCL bit-packed float rgb),
 * ``x y z rgb segmentMask`` — mask-annotated output, matching the custom
   ``PointXYZRGBMask`` registration (`include/FrameData.hpp:78-87`:
   float x,y,z, packed float rgb, uint16 segmentMask).
+
+ASCII parse/format and LZF (de)compression route through the native codec
+(`native/pcd_codec.cpp`, OpenMP-parallel — the role PCL's C++ IO plays in
+the reference) when its shared library is buildable, with a transparent
+numpy fallback otherwise.
 """
 
 from __future__ import annotations
@@ -107,10 +112,14 @@ def read(path: str) -> PCDData:
     )
 
     if mode == "ascii":
-        body = raw[nl + 1 :].decode("ascii", errors="replace")
-        table = np.loadtxt(_io.StringIO(body), dtype=np.float64, ndmin=2)
-        if table.size == 0:
-            table = table.reshape(0, len(names))
+        from . import native
+
+        table = native.parse_ascii_table(raw[nl + 1 :], len(names), n_points)
+        if table is None:
+            body = raw[nl + 1 :].decode("ascii", errors="replace")
+            table = np.loadtxt(_io.StringIO(body), dtype=np.float64, ndmin=2)
+            if table.size == 0:
+                table = table.reshape(0, len(names))
         cols = {}
         for i, (name, t, s) in enumerate(zip(names, types, sizes)):
             col = table[:, i]
@@ -121,8 +130,31 @@ def read(path: str) -> PCDData:
         body = raw[nl + 1 : nl + 1 + dtype.itemsize * n_points]
         rec = np.frombuffer(body, dtype=dtype, count=n_points)
         return PCDData({name: np.ascontiguousarray(rec[name]) for name in names})
+    elif mode == "binary_compressed":
+        # PCL layout: u32 compressed size, u32 uncompressed size, LZF data;
+        # the uncompressed payload is FIELD-MAJOR (all x, then all y, ...).
+        from . import native
+
+        comp_size, uncomp_size = np.frombuffer(raw, np.uint32, 2, offset=nl + 1)
+        payload = raw[nl + 9 : nl + 9 + int(comp_size)]
+        blob = native.lzf_decompress(payload, int(uncomp_size))
+        if blob is None:
+            raise NotImplementedError(
+                f"{path}: DATA binary_compressed requires the native codec "
+                "(native/libpcdcodec.so failed to build)"
+            )
+        cols = {}
+        off = 0
+        for name, t, s in zip(names, types, sizes):
+            np_t = np.dtype(_PCD_TO_NP[(t, s)])
+            nbytes = np_t.itemsize * n_points
+            cols[name] = np.frombuffer(blob, np_t, n_points, offset=off).copy()
+            off += nbytes
+        return PCDData(cols)
     else:
-        raise NotImplementedError(f"{path}: DATA {mode} not supported (ascii/binary only)")
+        raise NotImplementedError(
+            f"{path}: DATA {mode} not supported (ascii/binary/binary_compressed)"
+        )
 
 
 def pack_rgb(rgb: np.ndarray) -> np.ndarray:
@@ -141,11 +173,14 @@ def write(
     rgb: Optional[np.ndarray] = None,
     mask_label: Optional[np.ndarray] = None,
     binary: bool = False,
+    compressed: bool = False,
 ) -> None:
     """Write a PCD file with the field layout implied by the provided columns.
 
     The reference writes ASCII everywhere (e.g.
-    `PointCloudProcessor.cpp:217,542,920`); ``binary=True`` is the fast path.
+    `PointCloudProcessor.cpp:217,542,920`); ``binary=True`` is the fast
+    path, ``compressed=True`` writes PCL binary_compressed (LZF, needs the
+    native codec — silently downgrades to binary without it).
     """
     points = np.asarray(points, np.float32).reshape(-1, 3)
     n = points.shape[0]
@@ -157,14 +192,33 @@ def write(
         formats.append(np.float32)
         cols.append(np.asarray(intensity, np.float32))
     if rgb is not None:
+        # Packed as an integer column (PCL reads both the packed-float and
+        # uint32 encodings): printing the packed float32 with %.8g would
+        # corrupt the low bits — the blue channel — in ASCII mode.
         names.append("rgb")
-        formats.append(np.float32)
-        cols.append(pack_rgb(np.asarray(rgb)))
+        formats.append(np.uint32)
+        cols.append(pack_rgb(np.asarray(rgb)).view(np.uint32))
     if mask_label is not None:
         names.append("segmentMask")
         formats.append(np.uint16)
         cols.append(np.asarray(mask_label, np.uint16))
 
+    from . import native
+
+    compressed_blob = None
+    if compressed:
+        # PCL binary_compressed: field-major payload, LZF.
+        field_major = b"".join(np.ascontiguousarray(c).tobytes() for c in cols)
+        packed = native.lzf_compress(field_major)
+        if packed is not None:
+            compressed_blob = (
+                np.asarray([len(packed), len(field_major)], np.uint32).tobytes() + packed
+            )
+
+    mode = (
+        "binary_compressed" if compressed_blob is not None
+        else ("binary" if (binary or compressed) else "ascii")
+    )
     sizes = " ".join(str(np.dtype(f).itemsize) for f in formats)
     types = " ".join(_NP_TO_PCD[np.dtype(f)][0] for f in formats)
     ones = " ".join(["1"] * len(names))
@@ -179,7 +233,7 @@ def write(
         "HEIGHT 1\n"
         "VIEWPOINT 0 0 0 1 0 0 0\n"
         f"POINTS {n}\n"
-        f"DATA {'binary' if binary else 'ascii'}\n"
+        f"DATA {mode}\n"
     )
     rec = np.empty(n, dtype=np.dtype({"names": names, "formats": formats}))
     for name, col in zip(names, cols):
@@ -187,15 +241,27 @@ def write(
 
     with open(path, "wb") as f:
         f.write(header.encode("ascii"))
-        if binary:
+        if mode == "binary_compressed":
+            f.write(compressed_blob)
+        elif mode == "binary":
             f.write(rec.tobytes())
         else:
-            fmt_parts = []
-            for fo in formats:
-                fmt_parts.append("%.8g" if np.dtype(fo).kind == "f" else "%d")
-            out = _io.StringIO()
-            np.savetxt(out, np.stack([c.astype(np.float64) if np.dtype(fo).kind == "f" else c for c, fo in zip(cols, formats)], axis=-1), fmt=fmt_parts)
-            f.write(out.getvalue().encode("ascii"))
+            table_cols, is_int = [], []
+            for c, fo in zip(cols, formats):
+                if np.dtype(fo).kind == "f":
+                    table_cols.append(c.astype(np.float64))
+                    is_int.append(0)
+                else:
+                    table_cols.append(c.astype(np.float64))
+                    is_int.append(1)
+            table = np.stack(table_cols, axis=-1)
+            body = native.format_ascii_table(table, is_int)
+            if body is None:
+                out = _io.StringIO()
+                fmt_parts = ["%.8g" if not ii else "%d" for ii in is_int]
+                np.savetxt(out, table, fmt=fmt_parts)
+                body = out.getvalue().encode("ascii")
+            f.write(body)
 
 
 def read_cloud(path: str, capacity: Optional[int] = None):

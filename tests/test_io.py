@@ -111,3 +111,55 @@ def test_mask_matching(tmp_path):
     n = ingest.match_masks_to_timestamps(str(src), str(odom), str(out))
     assert n == 1
     assert (out / "100.000000.png").exists()
+
+
+class TestNativeCodec:
+    def test_rgb_ascii_roundtrip_exact(self, tmp_path):
+        """Every 8-bit channel value must survive ASCII write/read exactly
+        (the blue channel lives in the packed value's low bits)."""
+        from pointcloudprocessor_tpu.io import pcd
+
+        n = 256
+        pts = np.zeros((n, 3), np.float32)
+        rgb = np.stack([
+            np.arange(n), (np.arange(n) * 7) % 256, (np.arange(n) * 13) % 256
+        ], -1).astype(np.float32)
+        p = str(tmp_path / "c.pcd")
+        pcd.write(p, pts, rgb=rgb)
+        out = pcd.read(p)
+        np.testing.assert_array_equal(out.rgb, rgb)
+
+    def test_binary_compressed_roundtrip(self, tmp_path):
+        from pointcloudprocessor_tpu.io import native, pcd
+
+        if not native.available():
+            import pytest
+
+            pytest.skip("native codec unavailable")
+        rng = np.random.default_rng(0)
+        n = 5000
+        pts = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+        inten = rng.uniform(0, 1, n).astype(np.float32)
+        rgb = rng.integers(0, 256, (n, 3)).astype(np.float32)
+        p = str(tmp_path / "c.pcd")
+        pcd.write(p, pts, intensity=inten, rgb=rgb, mask_label=np.arange(n) % 7,
+                  compressed=True)
+        head = open(p, "rb").read(400)
+        assert b"binary_compressed" in head
+        out = pcd.read(p)
+        np.testing.assert_array_equal(out.points, pts)
+        np.testing.assert_array_equal(out.intensity, inten)
+        np.testing.assert_array_equal(out.rgb, rgb)
+        np.testing.assert_array_equal(out.mask_label, np.arange(n) % 7)
+
+    def test_native_matches_numpy_parse(self, tmp_path):
+        from pointcloudprocessor_tpu.io import native
+
+        if not native.available():
+            import pytest
+
+            pytest.skip("native codec unavailable")
+        body = b"1.5 -2e3 0.125\n7 8.25e-2 -0\nnan 1 2\n"
+        t = native.parse_ascii_table(body, 3, 10)
+        expect = np.array([[1.5, -2000.0, 0.125], [7.0, 0.0825, -0.0], [np.nan, 1, 2]])
+        np.testing.assert_allclose(t, expect, rtol=1e-12)
