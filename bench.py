@@ -51,22 +51,53 @@ def bench_tpu(width, height, n_map, n_cull, k, inner_iters, outer_iters):
     from pointcloudprocessor_tpu.opt import nid, refine
     from pointcloudprocessor_tpu.pipeline import colorize
 
-    pts, inten, gray, rgb, cull_idx = build_scene(width, height, n_map, n_cull, k)
     camera = cam.PinholeCamera(
         intrinsic=jnp.asarray([4818.2, 4819.1, width / 2.0, height / 2.0], jnp.float32),
         distortion=jnp.asarray([0.003, 0.066, -0.0002, -0.0006, 0.0], jnp.float32),
         width=width,
         height=height,
     )
-    points = jnp.asarray(pts)
+
+    # Scene is synthesized ON DEVICE: at the full scale the images alone are
+    # ~300 MB, and shipping them through the host tunnel dwarfs the compute
+    # being measured.
+    f_px, wall_z = 4818.2, 5.0
+
+    def field(x, y):
+        return jnp.clip(0.5 + 0.25 * jnp.sin(7 * x) + 0.25 * jnp.cos(9 * y), 0.0, 1.0)
+
+    @jax.jit
+    def make_scene():
+        key = jax.random.PRNGKey(0)
+        k1, k2, k3 = jax.random.split(key, 3)
+        u = jax.random.uniform(k1, (n_map,), jnp.float32, 2.0, width - 2.0)
+        v = jax.random.uniform(k2, (n_map,), jnp.float32, 2.0, height - 2.0)
+        x = (u - width / 2.0) / f_px * wall_z
+        y = (v - height / 2.0) / f_px * wall_z
+        points = jnp.stack([x, y, jnp.full_like(x, wall_z)], -1)
+        inten = field(x, y)
+
+        uu = (jnp.arange(width, dtype=jnp.float32) - width / 2.0) / f_px * wall_z
+        vv = (jnp.arange(height, dtype=jnp.float32) - height / 2.0) / f_px * wall_z
+        gray = field(uu[None, :], vv[:, None])
+        rgb = (gray[..., None] * 255.0).astype(jnp.uint8)
+        images = jnp.broadcast_to(rgb, (k, height, width, 3))
+
+        cull = jax.random.permutation(k3, n_map)[:n_cull]
+        kf_pts = jnp.broadcast_to(points[cull], (k, n_cull, 3))
+        kf_int = jnp.broadcast_to(inten[cull], (k, n_cull))
+        bin_img = nid.quantize_image(gray, 16)
+        bin_imgs = jnp.broadcast_to(bin_img, (k, height, width))
+        return points, inten, images, kf_pts, kf_int, bin_imgs
+
+    points, inten, images, kf_pts, kf_int, bin_imgs = jax.block_until_ready(make_scene())
+    print("# scene built on device", file=sys.stderr)
     valid = jnp.ones((n_map,), bool)
-    images = jnp.asarray(np.stack([rgb] * k))
-    bin_img = nid.quantize_image(jnp.asarray(gray), 16)
     kfs = nid.NIDKeyframe(
-        points=jnp.asarray(np.stack([pts[cull_idx]] * k)),
-        intensity=jnp.asarray(np.stack([inten[cull_idx]] * k)),
+        points=kf_pts,
+        intensity=kf_int,
         valid=jnp.ones((k, n_cull), bool),
-        bin_image=jnp.stack([bin_img] * k),
+        bin_image=bin_imgs,
     )
     poses = se3.SE3(
         q=jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], jnp.float32), (k, 1)),
@@ -89,8 +120,10 @@ def bench_tpu(width, height, n_map, n_cull, k, inner_iters, outer_iters):
     # Warm-up (compile), then time.
     r = refine_step()
     r.T_camera_lidar.t.block_until_ready()
+    print("# refine compiled", file=sys.stderr)
     fz = colorize_step(r.T_camera_lidar)
     fz.rgb.block_until_ready()
+    print("# colorize compiled", file=sys.stderr)
 
     t0 = time.perf_counter()
     r = refine_step()

@@ -29,6 +29,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_path", default=None)
     p.add_argument("--enableMLS", action="store_true", default=None)
     p.add_argument("--enableNIDOptimize", action="store_true", default=None)
+    p.add_argument(
+        "--resume", action="store_true", default=None,
+        help="reuse existing stage artifacts (scans-crop[_mls].pcd, "
+        "nid_correction.json) instead of recomputing",
+    )
+    p.add_argument(
+        "--profile-trace-dir", default=None,
+        help="capture a JAX/XLA profiler trace of the run into this directory",
+    )
     p.add_argument("--dump-config", action="store_true", help="print effective config and exit")
     p.add_argument("--platform", default="", help="force jax platform (e.g. cpu)")
     return p
@@ -48,6 +57,8 @@ def config_from_args(args) -> PipelineConfig:
         "output_path": args.output_path,
         "enable_mls": args.enableMLS,
         "enable_nid_optimize": args.enableNIDOptimize,
+        "resume": args.resume,
+        "profile_trace_dir": args.profile_trace_dir,
     }
     for k, v in overrides.items():
         if v is not None:

@@ -43,25 +43,30 @@ def minimize(
     eye = jnp.eye(d, dtype=dtype)
     vg = jax.value_and_grad(f)
 
-    def line_search(x, direction, val, g):
-        """Backtracking Armijo; also backtracks out of +inf (rejected) regions."""
+    def line_search(x, direction, val, g, alpha0):
+        """Backtracking Armijo; also backtracks out of +inf (rejected)
+        regions. ONE objective evaluation per probed step: the candidate
+        value is computed in the body and carried, so the accepted step's
+        value is returned without a re-evaluation."""
         dg = jnp.dot(g, direction)
 
+        def accepted(alpha, new_val):
+            return jnp.isfinite(new_val) & (new_val <= val + armijo_c1 * alpha * dg)
+
         def cond(state):
-            alpha, ok, it = state
-            new_val = f(x + alpha * direction)
-            insufficient = ~(new_val <= val + armijo_c1 * alpha * dg) | ~jnp.isfinite(new_val)
-            return insufficient & (it < max_backtracks)
+            alpha, new_val, it = state
+            return ~accepted(alpha, new_val) & (it < max_backtracks)
 
         def body(state):
-            alpha, ok, it = state
-            return (alpha * 0.5, ok, it + 1)
+            alpha, _, it = state
+            a = alpha * 0.5
+            return (a, f(x + a * direction), it + 1)
 
-        alpha0 = jnp.asarray(1.0, dtype)
-        alpha, _, it = jax.lax.while_loop(cond, body, (alpha0, True, 0))
-        new_val = f(x + alpha * direction)
-        ok = jnp.isfinite(new_val) & (new_val <= val + armijo_c1 * alpha * dg)
-        return jnp.where(ok, alpha, 0.0), it
+        alpha, new_val, it = jax.lax.while_loop(
+            cond, body, (alpha0, f(x + alpha0 * direction), 0)
+        )
+        ok = accepted(alpha, new_val)
+        return jnp.where(ok, alpha, 0.0), jnp.where(ok, new_val, val), it
 
     class State(NamedTuple):
         x: jnp.ndarray
@@ -84,7 +89,15 @@ def minimize(
         descent = jnp.dot(direction, st.g) < 0
         direction = jnp.where(descent, direction, -st.g)
 
-        alpha, _ = line_search(st.x, direction, st.val, st.g)
+        # First iteration (H = I): a raw step of size |g| overshoots badly
+        # for steep objectives and burns ~log2|g| backtracks; start from the
+        # Nocedal-Wright alpha0 = min(1, 1/|g|) instead.
+        alpha0 = jnp.where(
+            st.it == 0,
+            jnp.minimum(1.0, 1.0 / (jnp.linalg.norm(st.g) + 1e-12)).astype(dtype),
+            jnp.asarray(1.0, dtype),
+        )
+        alpha, _ls_val, _ = line_search(st.x, direction, st.val, st.g, alpha0)
         step = alpha * direction
         x_new = st.x + step
         val_new, g_new = vg(x_new)
@@ -92,9 +105,17 @@ def minimize(
         s = step
         y = g_new - st.g
         sy = jnp.dot(s, y)
+        yy = jnp.dot(y, y)
         rho = jnp.where(sy > 1e-12, 1.0 / jnp.where(sy > 1e-12, sy, 1.0), 0.0)
+        # Classic initial-Hessian scaling on the first update: H0 = (sy/yy) I
+        # calibrates the metric so subsequent unit steps are well-sized.
+        H_base = jnp.where(
+            (st.it == 0) & (sy > 1e-12) & (yy > 1e-12),
+            (sy / jnp.maximum(yy, 1e-20)) * eye,
+            st.H,
+        )
         V = eye - rho * jnp.outer(s, y)
-        H_new = V @ st.H @ V.T + rho * jnp.outer(s, s)
+        H_new = V @ H_base @ V.T + rho * jnp.outer(s, s)
         H_new = jnp.where(sy > 1e-12, H_new, st.H)
 
         stalled = alpha == 0.0

@@ -62,12 +62,42 @@ class NIDKeyframe(NamedTuple):
     points/intensity/valid are fixed-capacity (padded); bin_image is the
     quantized grayscale image. Intensities must be pre-normalized to [0, 1]
     (`visual_lidar_data.cpp:87-96` semantics — see cloud.normalize_intensity).
+
+    ``tap_rows`` is the optional precomputed (H*W, 16) int8 window table from
+    :func:`build_tap_table`. TPU gathers cost per ROW fetched, not per byte,
+    so fetching each point's whole 4x4 spline window as ONE row is ~7x faster
+    than 16 scalar gathers; the table is pose-independent, so optimizers
+    build it once per solve (:func:`prepare_keyframes`) and every objective
+    evaluation reuses it.
     """
 
     points: jnp.ndarray  # (N, 3) in the keyframe CAMERA frame (pre-correction)
     intensity: jnp.ndarray  # (N,)
     valid: jnp.ndarray  # (N,)
     bin_image: jnp.ndarray  # (H, W) int32
+    tap_rows: Optional[jnp.ndarray] = None  # (H*W, 16) int8, (dy, dx) order
+
+
+def build_tap_table(bin_image: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) bin image -> (H*W, 16) int8 table of each pixel's 4x4 B-spline
+    window values (rows dy=-1..2 outer, dx=-1..2 inner, edges clamped —
+    matching the per-tap `jnp.clip` of the direct path bit-exactly)."""
+    h, w = bin_image.shape
+    p = jnp.pad(bin_image, ((1, 2), (1, 2)), mode="edge")
+    rows = [
+        p[1 + dy: 1 + dy + h, 1 + dx: 1 + dx + w]
+        for dy in (-1, 0, 1, 2)
+        for dx in (-1, 0, 1, 2)
+    ]
+    return jnp.stack(rows, axis=-1).reshape(h * w, 16).astype(jnp.int8)
+
+
+def prepare_keyframes(kfs: NIDKeyframe) -> NIDKeyframe:
+    """Attach precomputed tap tables (batched over the keyframe axis).
+    Idempotent; called by the optimizers at solve entry."""
+    if kfs.tap_rows is not None:
+        return kfs
+    return kfs._replace(tap_rows=jax.vmap(build_tap_table)(kfs.bin_image))
 
 
 def spline_weights(s: jnp.ndarray) -> jnp.ndarray:
@@ -110,16 +140,18 @@ def nid_histograms(
     bx = spline_weights(s[:, 0])  # (N, 4)
     by = spline_weights(s[:, 1])  # (N, 4)
 
-    offsets = jnp.arange(-1, 3, dtype=jnp.int32)
-    kx = jnp.clip(knot[:, 0:1] + offsets[None, :], 0, w_img_px - 1)  # (N, 4)
-    ky = jnp.clip(knot[:, 1:2] + offsets[None, :], 0, h_img_px - 1)  # (N, 4)
+    # 16-tap fetch, ONE row gather per point: each tap-table row holds the
+    # whole 4x4 window in (dy, dx) order (TPU gather costs per row fetched,
+    # not per element — ~7x over 16 scalar gathers).
+    tap_rows = kf.tap_rows if kf.tap_rows is not None else build_tap_table(kf.bin_image)
+    anchor = (
+        jnp.clip(knot[:, 1], 0, h_img_px - 1) * w_img_px
+        + jnp.clip(knot[:, 0], 0, w_img_px - 1)
+    )
+    b_img = jnp.take(tap_rows, anchor, axis=0).astype(jnp.int32)  # (N, 16)
 
-    # Flattened 16-tap gather of the precomputed bin map.
-    flat = kf.bin_image.reshape(-1)
-    idx = (ky[:, None, :] * w_img_px + kx[:, :, None]).reshape(-1, 16)  # (N, 16)
-    b_img = jnp.take(flat, idx, axis=0)  # (N, 16) int32
-
-    w = (bx[:, :, None] * by[:, None, :]).reshape(-1, 16) * inlier_f[:, None]  # (N, 16)
+    # Weights in matching (dy, dx) order.
+    w = (by[:, :, None] * bx[:, None, :]).reshape(-1, 16) * inlier_f[:, None]  # (N, 16)
 
     # Per-point image-bin mass: accumulate the 16 taps into `bins` buckets.
     # Unrolled over taps: each step is an (N, bins) masked add, fusable by XLA.
@@ -172,7 +204,12 @@ def multi_nid_loss(
     (`visual_camera_calibration.cpp:94-123`). The reference parallelizes
     keyframes with OpenMP (:110); here they vmap (and, in
     `parallel/nid_shard.py`, shard across devices with a `psum`)."""
-    losses = jax.vmap(lambda p, i, v, b: nid_loss(
-        camera, T_camera_lidar, NIDKeyframe(p, i, v, b), bins
-    ))(kfs.points, kfs.intensity, kfs.valid, kfs.bin_image)
+    if kfs.tap_rows is None:
+        losses = jax.vmap(lambda p, i, v, b: nid_loss(
+            camera, T_camera_lidar, NIDKeyframe(p, i, v, b), bins
+        ))(kfs.points, kfs.intensity, kfs.valid, kfs.bin_image)
+    else:
+        losses = jax.vmap(lambda p, i, v, b, t: nid_loss(
+            camera, T_camera_lidar, NIDKeyframe(p, i, v, b, t), bins
+        ))(kfs.points, kfs.intensity, kfs.valid, kfs.bin_image, kfs.tap_rows)
     return jnp.sum(losses)

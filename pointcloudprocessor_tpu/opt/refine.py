@@ -31,6 +31,7 @@ from ..core import se3
 from ..models import camera as cam
 from ..utils.config import NIDConfig
 from . import bfgs
+from . import nid as _nid
 from .nid import NIDKeyframe, multi_nid_loss
 
 
@@ -81,6 +82,10 @@ def refine_pose(
     loss_fn=multi_nid_loss,
 ) -> RefineResult:
     """Optimize the shared camera<-lidar correction transform over keyframes."""
+    if loss_fn is multi_nid_loss:
+        # Pose-independent tap tables: built once here, reused by every
+        # objective evaluation inside the solver loops.
+        kfs = _nid.prepare_keyframes(kfs)
     objective = _guarded_objective(
         camera, kfs, bins, trust_region_trans, trust_region_rot, loss_fn
     )

@@ -22,7 +22,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..core import se3
 from ..models import camera as cam
 from ..opt import bfgs
-from ..opt.nid import NIDKeyframe, nid_from_histograms, nid_histograms
+from ..opt.nid import (
+    NIDKeyframe,
+    nid_from_histograms,
+    nid_histograms,
+    prepare_keyframes,
+)
 from . import mesh as mesh_lib
 
 
@@ -41,11 +46,13 @@ def sharded_multi_nid_loss(
     image) and shards over ``kf``.
     """
 
-    def local(points, intensity, valid, bin_image):
+    kfs = prepare_keyframes(kfs)  # no-op when the solver prepared already
+
+    def local(points, intensity, valid, bin_image, tap_rows):
         # points: (K_local, N_local, 3) etc.; bin_image: (K_local, H, W)
-        def per_kf(p, i, v, b):
+        def per_kf(p, i, v, b, t):
             hj, hi, hp, num = nid_histograms(
-                camera, T_camera_lidar, NIDKeyframe(p, i, v, b), bins
+                camera, T_camera_lidar, NIDKeyframe(p, i, v, b, t), bins
             )
             # Reduce histogram mass over the point shards.
             hj = jax.lax.psum(hj, mesh_lib.PT_AXIS)
@@ -54,7 +61,9 @@ def sharded_multi_nid_loss(
             num = jax.lax.psum(num, mesh_lib.PT_AXIS)
             return nid_from_histograms(hj, hi, hp, num)
 
-        local_sum = jnp.sum(jax.vmap(per_kf)(points, intensity, valid, bin_image))
+        local_sum = jnp.sum(
+            jax.vmap(per_kf)(points, intensity, valid, bin_image, tap_rows)
+        )
         return jax.lax.psum(local_sum, mesh_lib.KF_AXIS)
 
     return jax.shard_map(
@@ -65,9 +74,10 @@ def sharded_multi_nid_loss(
             P(mesh_lib.KF_AXIS, mesh_lib.PT_AXIS),  # intensity
             P(mesh_lib.KF_AXIS, mesh_lib.PT_AXIS),  # valid
             P(mesh_lib.KF_AXIS),  # bin_image (replicated over pt)
+            P(mesh_lib.KF_AXIS),  # tap_rows (replicated over pt)
         ),
         out_specs=P(),
-    )(kfs.points, kfs.intensity, kfs.valid, kfs.bin_image)
+    )(kfs.points, kfs.intensity, kfs.valid, kfs.bin_image, kfs.tap_rows)
 
 
 def make_sharded_loss(mesh: Mesh):
@@ -96,6 +106,9 @@ def refine_pose_sharded(
     """Multi-device version of opt.refine.refine_pose (same semantics)."""
     from ..opt.refine import refine_pose
 
+    # Tap tables built once, outside the solver loops (sharded over kf with
+    # their bin images).
+    kfs = prepare_keyframes(kfs)
     # refine_pose is itself jitted; calling it inside jit simply inlines.
     return refine_pose(
         camera,

@@ -125,36 +125,89 @@ def build_nid_keyframes(camera, map_cloud, frames, kf_idx, cfg, save_dir: str = 
 
 def process(cfg: PipelineConfig) -> PipelineResult:
     """Run the full pipeline per the config. Returns paths + stats."""
+    import contextlib
+
+    from ..utils import profiling
+
     t_start = time.perf_counter()
     result = PipelineResult()
     timings = result.timings
+
+    for label, path in (
+        ("point_cloud_path", cfg.point_cloud_path),
+        ("odometry_path", cfg.odometry_path),
+        ("images_folder", cfg.images_folder),
+    ):
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"{label} does not exist: {path!r}")
+
     camera = _make_camera(cfg)
     os.makedirs(cfg.output_path, exist_ok=True)
     filtered_dir = os.path.join(cfg.output_path, "filtered_pcd")
     os.makedirs(filtered_dir, exist_ok=True)
+    metrics_path = (
+        os.path.join(cfg.output_path, "metrics.jsonl")
+        if cfg.metrics_path == "auto"
+        else cfg.metrics_path
+    )
+    metrics = profiling.MetricsLogger(metrics_path)
+    metrics.log("pipeline_start", config_keyframes_cap=cfg.max_keyframes)
+    trace_ctx = (
+        profiling.trace(cfg.profile_trace_dir)
+        if cfg.profile_trace_dir
+        else contextlib.nullcontext()
+    )
+    with trace_ctx:
+        result = _process_stages(
+            cfg, camera, filtered_dir, result, timings, metrics
+        )
+    timings["total"] = time.perf_counter() - t_start
+    metrics.log("pipeline_done", **{k: round(v, 4) for k, v in timings.items()})
+    return result
 
+
+def _process_stages(cfg, camera, filtered_dir, result, timings, metrics):
     # 1. Frames + odometry (loadImagesAndOdometry, :965-1005).
     frames = ingest.load_frames(cfg.odometry_path, cfg.images_folder, cfg.mask_image_folder)
     if not frames:
-        raise ValueError("no frames: no odometry lines matched an image file")
+        raise ValueError(
+            "no frames: no odometry timestamp matched an image file — check "
+            "that images are named '<ts:.6f>.jpg' for the odometry timestamps"
+        )
     traj = ingest.frames_trajectory(frames)
+    metrics.log("frames_loaded", count=len(frames))
 
     # 2. Map load + trajectory crop (loadPointCloud, :92-154).
     t0 = time.perf_counter()
-    map_cloud = pcd.read_cloud(cfg.point_cloud_path, capacity=cfg.map_capacity)
-    map_cloud = cl.trajectory_crop(
-        map_cloud, jnp.asarray(traj.positions), padding=cfg.crop_padding
+    crop_path = os.path.join(cfg.output_path, "scans-crop.pcd")
+    mls_path = os.path.join(cfg.output_path, "scans-crop_mls.pcd")
+    resumed_crop = cfg.resume and os.path.exists(
+        mls_path if cfg.enable_mls else crop_path
     )
-    pcd.write_cloud(os.path.join(cfg.output_path, "scans-crop.pcd"), map_cloud)
-    timings["load_crop"] = time.perf_counter() - t0
+    if resumed_crop:
+        # Stage checkpoint: artifacts double as restart points, as the
+        # reference's file hand-offs implicitly do (SURVEY §5).
+        map_cloud = pcd.read_cloud(
+            mls_path if cfg.enable_mls else crop_path, capacity=cfg.map_capacity
+        )
+        metrics.log("crop_resumed", path=mls_path if cfg.enable_mls else crop_path)
+        timings["load_crop"] = time.perf_counter() - t0
+    else:
+        map_cloud = pcd.read_cloud(cfg.point_cloud_path, capacity=cfg.map_capacity)
+        map_cloud = cl.trajectory_crop(
+            map_cloud, jnp.asarray(traj.positions), padding=cfg.crop_padding
+        )
+        pcd.write_cloud(crop_path, map_cloud)
+        timings["load_crop"] = time.perf_counter() - t0
 
-    if cfg.enable_mls:
-        t0 = time.perf_counter()
-        from ..ops import mls as mls_mod
+        if cfg.enable_mls:
+            t0 = time.perf_counter()
+            from ..ops import mls as mls_mod
 
-        map_cloud = mls_mod.smooth_cloud(map_cloud, cfg.mls)
-        pcd.write_cloud(os.path.join(cfg.output_path, "scans-crop_mls.pcd"), map_cloud)
-        timings["mls"] = time.perf_counter() - t0
+            map_cloud = mls_mod.smooth_cloud(map_cloud, cfg.mls)
+            pcd.write_cloud(mls_path, map_cloud)
+            timings["mls"] = time.perf_counter() - t0
+    metrics.log("map_ready", points=int(map_cloud.count()))
 
     # 3. Keyframes (selectKeyframes, :1050-1075).
     kf_idx = keyframes.select(traj, cfg.keyframes)[: cfg.max_keyframes]
@@ -167,23 +220,55 @@ def process(cfg: PipelineConfig) -> PipelineResult:
 
     # 5. Optional NID pose refinement (applyNIDBasedPoseOptimization, :156-164).
     T_correction = se3.identity()
+    corr_path = os.path.join(cfg.output_path, "nid_correction.json")
     if cfg.enable_nid_optimize:
-        t0 = time.perf_counter()
-        res = refine.refine_pose(
-            camera,
-            kfs,
-            T_correction,
-            bins=cfg.nid.bins,
-            max_outer_iterations=cfg.nid.max_outer_iterations,
-            max_inner_iterations=cfg.nid.max_inner_iterations,
-            delta_trans_thresh=cfg.nid.delta_trans_thresh,
-            delta_rot_thresh=np.radians(cfg.nid.delta_rot_thresh_deg),
-            trust_region_trans=cfg.nid.trust_region_trans,
-            trust_region_rot=np.radians(cfg.nid.trust_region_rot_deg),
-        )
-        T_correction = res.T_camera_lidar
-        result.nid_value = float(res.nid)
-        timings["nid_refine"] = time.perf_counter() - t0
+        if cfg.resume and os.path.exists(corr_path):
+            import json
+
+            saved = json.loads(open(corr_path).read())
+            T_correction = se3.from_qt(
+                jnp.asarray(saved["quat_wxyz"], jnp.float32),
+                jnp.asarray(saved["translation"], jnp.float32),
+            )
+            result.nid_value = saved.get("nid", float("nan"))
+            metrics.log("nid_resumed", path=corr_path)
+        else:
+            t0 = time.perf_counter()
+            res = refine.refine_pose(
+                camera,
+                kfs,
+                T_correction,
+                bins=cfg.nid.bins,
+                max_outer_iterations=cfg.nid.max_outer_iterations,
+                max_inner_iterations=cfg.nid.max_inner_iterations,
+                delta_trans_thresh=cfg.nid.delta_trans_thresh,
+                delta_rot_thresh=np.radians(cfg.nid.delta_rot_thresh_deg),
+                trust_region_trans=cfg.nid.trust_region_trans,
+                trust_region_rot=np.radians(cfg.nid.trust_region_rot_deg),
+            )
+            T_correction = res.T_camera_lidar
+            result.nid_value = float(res.nid)
+            timings["nid_refine"] = time.perf_counter() - t0
+            import json
+
+            with open(corr_path, "w") as f:
+                json.dump(
+                    {
+                        "quat_wxyz": np.asarray(T_correction.q).tolist(),
+                        "translation": np.asarray(T_correction.t).tolist(),
+                        "nid": result.nid_value,
+                        "outer_iterations": int(res.outer_iterations),
+                        "converged": bool(res.converged),
+                    },
+                    f,
+                    indent=2,
+                )
+            metrics.log(
+                "nid_refined",
+                nid=result.nid_value,
+                outer_iterations=int(res.outer_iterations),
+                converged=bool(res.converged),
+            )
     result.T_correction = T_correction
 
     # 5b. Optional manual initial guess from picked 2D-3D pairs
@@ -274,5 +359,5 @@ def process(cfg: PipelineConfig) -> PipelineResult:
             include=("rgb",),
         )
 
-    timings["total"] = time.perf_counter() - t_start
+    metrics.log("outputs_saved", colored_points=result.num_colored_points)
     return result

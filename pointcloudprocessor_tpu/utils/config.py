@@ -157,6 +157,15 @@ class PipelineConfig:
     enable_mls: bool = False
     enable_nid_optimize: bool = False
     enable_manual_guess: bool = False  # GUI-free: consumes picked 2D-3D pairs
+    # Stage checkpoint/resume: reuse on-disk stage artifacts when present
+    # (scans-crop[_mls].pcd, nid_correction.json) instead of recomputing —
+    # the explicit version of the reference's implicit file-based restart
+    # points (SURVEY §5: `PointCloudProcessor.cpp:131-136`, `cloudSmooth.cpp:180`).
+    resume: bool = False
+    # Observability (utils/profiling.py): JAX profiler capture directory and
+    # JSONL metrics path ("auto" = <output_path>/metrics.jsonl, "" = off).
+    profile_trace_dir: str = ""
+    metrics_path: str = "auto"
     # JSON of picked correspondences for the manual-guess path (see
     # pipeline/manual_guess.py for the schema); the headless stand-in for the
     # reference's interactive picker (`initial_guess_manual.hpp:29-355`).

@@ -191,3 +191,38 @@ def test_e2e_manual_guess(tmp_path):
         se3.identity(),
     )
     assert float(dt) < 0.02 and float(np.degrees(float(dr))) < 0.5
+
+
+def test_e2e_resume_and_metrics(tmp_path):
+    """Stage checkpoint/resume + structured metrics (SURVEY §5 rebuild)."""
+    from pointcloudprocessor_tpu.pipeline import runner
+
+    write_dataset(tmp_path)
+    cfg = small_config(tmp_path, enable_nid_optimize=True)
+    cfg.nid.max_inner_iterations = 10
+    cfg.nid.max_outer_iterations = 2
+    res1 = runner.process(cfg)
+    assert os.path.exists(str(tmp_path / "out" / "nid_correction.json"))
+    # Metrics JSONL written with pipeline events.
+    lines = [json.loads(l) for l in open(str(tmp_path / "out" / "metrics.jsonl"))]
+    events = [l["event"] for l in lines]
+    assert "pipeline_start" in events and "nid_refined" in events and "pipeline_done" in events
+
+    # Resume: crop + refine must be skipped (fast) yet produce the same pose.
+    cfg.resume = True
+    res2 = runner.process(cfg)
+    q1 = np.asarray(res1.T_correction.q)
+    q2 = np.asarray(res2.T_correction.q)
+    np.testing.assert_allclose(q1, q2, atol=1e-6)
+    assert "nid_refine" not in res2.timings  # skipped on resume
+    lines = [json.loads(l) for l in open(str(tmp_path / "out" / "metrics.jsonl"))]
+    assert any(l["event"] == "nid_resumed" for l in lines)
+    assert any(l["event"] == "crop_resumed" for l in lines)
+
+
+def test_missing_input_error(tmp_path):
+    from pointcloudprocessor_tpu.pipeline import runner
+
+    cfg = small_config(tmp_path)
+    with pytest.raises(FileNotFoundError, match="point_cloud_path"):
+        runner.process(cfg)
