@@ -75,3 +75,40 @@ def test_sharded_refine_recovers_pose():
     dt, dr = se3.delta_magnitudes(res.T_camera_lidar, se3.identity())
     assert float(dt) < 0.01
     assert float(dr) < 0.017453
+
+
+def test_sharded_fusion_matches_unsharded():
+    from pointcloudprocessor_tpu.parallel import fusion_shard
+    from pointcloudprocessor_tpu.pipeline import colorize
+
+    c = simple_camera()
+    rng = np.random.default_rng(0)
+    n, k = 4096, 4
+    # Wall points visible from slightly shifted cameras.
+    u = rng.uniform(4, c.width - 4, n)
+    v = rng.uniform(4, c.height - 4, n)
+    f = float(c.intrinsic[0])
+    pts = jnp.asarray(np.stack([
+        (u - c.width / 2) / f * 5.0, (v - c.height / 2) / f * 5.0, np.full(n, 5.0)
+    ], -1).astype(np.float32))
+    valid = jnp.ones((n,), bool)
+    images = jnp.asarray(rng.integers(0, 255, (k, c.height, c.width, 3)).astype(np.uint8))
+    masks = jnp.asarray(rng.integers(0, 3, (k, c.height, c.width)).astype(np.int32))
+    poses = se3.SE3(
+        q=jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], jnp.float32), (k, 1)),
+        t=jnp.asarray(np.stack([[0.05 * i, 0, 0] for i in range(k)]).astype(np.float32)),
+    )
+    T = se3.identity()
+    kw = dict(downsample_factor=4, depth_epsilon=0.3, with_masks=True)
+
+    want = colorize.fuse(c, pts, valid, images, poses, T, mask_images=masks, **kw)
+    m = mesh_lib.make_mesh(kf=2, pt=4)
+    got = fusion_shard.fuse_sharded(
+        c, pts, valid, images, poses, T, m, mask_images=masks, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(got.colored), np.asarray(want.colored))
+    np.testing.assert_allclose(np.asarray(got.rgb), np.asarray(want.rgb), atol=1e-3)
+    np.testing.assert_array_equal(
+        np.asarray(got.observation_count), np.asarray(want.observation_count)
+    )
+    np.testing.assert_array_equal(np.asarray(got.best_label), np.asarray(want.best_label))
