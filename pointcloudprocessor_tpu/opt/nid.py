@@ -108,17 +108,24 @@ def spline_weights(s: jnp.ndarray) -> jnp.ndarray:
     return powers @ _SPLINE.T.astype(s.dtype)
 
 
+def _use_pallas_default() -> bool:
+    """Fused Pallas histogram on real TPU backends; XLA path elsewhere
+    (CPU tests run the same kernel via interpret mode in test_nid)."""
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def nid_histograms(
     camera: cam.PinholeCamera,
     T_camera_lidar: se3.SE3,
     kf: NIDKeyframe,
     bins: int = 16,
+    use_pallas: bool | None = None,
 ):
     """Joint / marginal histograms for one keyframe under a candidate pose.
 
     Returns (hist_joint (bins,bins), hist_image (bins,), hist_points (bins,),
     num_inliers). All mass-normalized by the inlier count, as in
-    nid_cost.hpp:95-99.
+    nid_cost.hpp:95-99. ``use_pallas`` None = auto (TPU only).
     """
     pts_cam = se3.transform_points(T_camera_lidar, kf.points)
     proj = cam.project(camera, pts_cam)
@@ -148,6 +155,28 @@ def nid_histograms(
         jnp.clip(knot[:, 1], 0, h_img_px - 1) * w_img_px
         + jnp.clip(knot[:, 0], 0, w_img_px - 1)
     )
+    bin_pts = jnp.clip((kf.intensity * bins).astype(jnp.int32), 0, bins - 1)
+
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+    if use_pallas:
+        from ..ops import nid_hist
+
+        taps = jnp.take(tap_rows, anchor, axis=0)  # (N, 16) int8
+        hist_joint = nid_hist.joint_histogram(
+            taps, s, bin_pts, jax.lax.stop_gradient(inlier_f), bins
+        )
+        hist_points = jnp.sum(
+            jax.nn.one_hot(bin_pts, bins, dtype=s.dtype)
+            * jax.lax.stop_gradient(inlier_f)[:, None],
+            axis=0,
+        )
+        # Image marginal = per-point-bin sums of the joint; differentiating
+        # through the joint keeps its pose gradient exact.
+        hist_image = jnp.sum(hist_joint, axis=0)
+        num = jnp.sum(jax.lax.stop_gradient(inlier_f))
+        return hist_joint, hist_image, hist_points, num
+
     b_img = jnp.take(tap_rows, anchor, axis=0).astype(jnp.int32)  # (N, 16)
 
     # Weights in matching (dy, dx) order.
@@ -159,11 +188,14 @@ def nid_histograms(
     for k in range(16):
         w_img = w_img + w[:, k:k + 1] * jax.nn.one_hot(b_img[:, k], bins, dtype=w.dtype)
 
-    bin_pts = jnp.clip((kf.intensity * bins).astype(jnp.int32), 0, bins - 1)
     P = jax.nn.one_hot(bin_pts, bins, dtype=w.dtype) * inlier_f[:, None]  # (N, bins)
     P = jax.lax.stop_gradient(P)  # hist_points is pose-independent (hpp:49)
 
-    hist_joint = jnp.einsum("nb,nc->cb", P, w_img)  # (bins_img, bins_pts)^T layout
+    # HIGHEST precision: the TPU default decomposes f32 matmuls into bf16
+    # passes, which perturbs the NID by ~1% (verified against f64).
+    hist_joint = jnp.einsum(
+        "nb,nc->cb", P, w_img, precision=jax.lax.Precision.HIGHEST
+    )  # (bins_img, bins_pts)^T layout
     # NB: orientation does not matter for the entropy sums below.
     hist_points = jnp.sum(P, axis=0)
     hist_image = jnp.sum(w_img, axis=0)
@@ -189,9 +221,12 @@ def nid_loss(
     T_camera_lidar: se3.SE3,
     kf: NIDKeyframe,
     bins: int = 16,
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """Scalar NID in [0, 1] for one keyframe (lower = better alignment)."""
-    return nid_from_histograms(*nid_histograms(camera, T_camera_lidar, kf, bins))
+    return nid_from_histograms(
+        *nid_histograms(camera, T_camera_lidar, kf, bins, use_pallas=use_pallas)
+    )
 
 
 def multi_nid_loss(
@@ -199,6 +234,7 @@ def multi_nid_loss(
     T_camera_lidar: se3.SE3,
     kfs: NIDKeyframe,  # batched: leading keyframe axis on every field
     bins: int = 16,
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """Sum of per-keyframe NIDs — `MultiNIDCost::operator()`
     (`visual_camera_calibration.cpp:94-123`). The reference parallelizes
@@ -206,10 +242,10 @@ def multi_nid_loss(
     `parallel/nid_shard.py`, shard across devices with a `psum`)."""
     if kfs.tap_rows is None:
         losses = jax.vmap(lambda p, i, v, b: nid_loss(
-            camera, T_camera_lidar, NIDKeyframe(p, i, v, b), bins
+            camera, T_camera_lidar, NIDKeyframe(p, i, v, b), bins, use_pallas
         ))(kfs.points, kfs.intensity, kfs.valid, kfs.bin_image)
     else:
         losses = jax.vmap(lambda p, i, v, b, t: nid_loss(
-            camera, T_camera_lidar, NIDKeyframe(p, i, v, b, t), bins
+            camera, T_camera_lidar, NIDKeyframe(p, i, v, b, t), bins, use_pallas
         ))(kfs.points, kfs.intensity, kfs.valid, kfs.bin_image, kfs.tap_rows)
     return jnp.sum(losses)

@@ -158,3 +158,60 @@ def test_multi_nid_sums_keyframes():
     single = float(nid.nid_loss(c, se3.identity(), kf))
     double = float(nid.multi_nid_loss(c, se3.identity(), kfs))
     np.testing.assert_allclose(double, 2 * single, rtol=1e-5)
+
+
+class TestPallasHistogram:
+    """Fused Pallas joint-histogram kernel (ops/nid_hist.py) vs the XLA path,
+    run in interpreter mode on CPU (compiled on real TPU backends)."""
+
+    def _patch_interpret(self, monkeypatch):
+        from pointcloudprocessor_tpu.ops import nid_hist
+
+        orig = nid_hist.joint_histogram
+
+        def interp(taps, s, bin_pts, inlier, bins=16, interpret=False):
+            return orig(taps, s, bin_pts, inlier, bins, True)
+
+        monkeypatch.setattr(nid_hist, "joint_histogram", interp)
+
+    def test_matches_xla_path(self, monkeypatch):
+        self._patch_interpret(monkeypatch)
+        c = simple_camera()
+        pts, inten, img = nid_scene(c)
+        kf = make_keyframe(c, pts, inten, img)
+        T = se3.exp(jnp.asarray([0.01, -0.005, 0.002, 0.003, -0.001, 0.002], jnp.float32))
+        hx = nid.nid_histograms(c, T, kf, 16, use_pallas=False)
+        hp = nid.nid_histograms(c, T, kf, 16, use_pallas=True)
+        np.testing.assert_allclose(np.asarray(hx[0]), np.asarray(hp[0]).T, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(hx[1]), np.asarray(hp[1]), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(hx[2]), np.asarray(hp[2]), atol=1e-5)
+        assert float(hx[3]) == float(hp[3])
+
+    def test_gradient_matches_xla_path(self, monkeypatch):
+        self._patch_interpret(monkeypatch)
+        c = simple_camera()
+        pts, inten, img = nid_scene(c)
+        kf = make_keyframe(c, pts, inten, img)
+        T = se3.exp(jnp.asarray([0.01, -0.005, 0.002, 0.003, -0.001, 0.002], jnp.float32))
+
+        def loss(xi, up):
+            return nid.nid_loss(c, se3.compose(T, se3.exp(xi)), kf, 16, use_pallas=up)
+
+        xi = jnp.zeros(6)
+        g_x = np.asarray(jax.grad(lambda z: loss(z, False))(xi))
+        g_p = np.asarray(jax.grad(lambda z: loss(z, True))(xi))
+        np.testing.assert_allclose(g_p, g_x, rtol=2e-3, atol=1e-6)
+
+    def test_padding_does_not_leak(self, monkeypatch):
+        """Non-multiple-of-block sizes: padded tail must contribute zero."""
+        self._patch_interpret(monkeypatch)
+        from pointcloudprocessor_tpu.ops import nid_hist
+
+        rng = np.random.default_rng(0)
+        n = 1000  # not a multiple of the 2048 block
+        taps = jnp.asarray(rng.integers(0, 16, (n, 16)).astype(np.int8))
+        s = jnp.asarray(rng.uniform(0, 1, (n, 2)).astype(np.float32))
+        bp = jnp.asarray(rng.integers(0, 16, (n,)).astype(np.int32))
+        il = jnp.ones((n,), jnp.float32)
+        h = nid_hist.joint_histogram(taps, s, bp, il, 16)
+        np.testing.assert_allclose(float(jnp.sum(h)), n, rtol=1e-5)
