@@ -115,6 +115,49 @@ def final_score(points_camera, camera_position_world=None, *, optimal_distance=2
     return 0.5 * (o + d)
 
 
+def gaussian_distance_score(
+    points_camera: jnp.ndarray, ideal_distance: float = 2.0, sigma: float = 1.0
+) -> jnp.ndarray:
+    """Gaussian distance score ``exp(-(d - ideal)^2 / (2 sigma^2))`` — the
+    alternative scoring of the reference's secondary colorizer
+    (`src/vlcal/pointColorization.cpp:17-20`)."""
+    d = jnp.linalg.norm(points_camera, axis=-1)
+    return jnp.exp(-((d - ideal_distance) ** 2) / (2.0 * sigma * sigma))
+
+
+def smooth_colors_local(
+    points: jnp.ndarray,
+    rgb: jnp.ndarray,
+    colored: jnp.ndarray,
+    radius: float,
+    max_neighbors: int = 32,
+    bucket_capacity: int = 32,
+    chunk_size: int = 65536,
+) -> jnp.ndarray:
+    """Inverse-distance-weighted color smoothing over spatial neighborhoods —
+    `smoothColorsWithLocalRegion` (`PointCloudProcessor.cpp:634-703`): for
+    every point, average neighbor colors within ``radius`` with weight
+    ``1 / (1 + d^2)`` (self included at full weight). The reference walks an
+    octree with OpenMP; here neighborhoods come from the grid hash and the
+    averages are one batched pass.
+
+    Only ``colored`` points contribute and are smoothed; others keep their
+    color. Returns the new (N, 3) colors.
+    """
+    from . import knn
+
+    n = points.shape[0]
+    grid = knn.build(points, colored, radius, max(2 * n, 1024), bucket_capacity)
+    idx, dist, ok = knn.chunked_radius_neighbors(
+        grid, points, points, radius, max_neighbors, chunk_size=chunk_size
+    )
+    w = jnp.where(ok, 1.0 / (1.0 + dist * dist), 0.0)
+    neigh_rgb = rgb[jnp.maximum(idx, 0)]  # (N, K, 3)
+    total = jnp.sum(w, axis=1)
+    blended = jnp.sum(neigh_rgb * w[..., None], axis=1) / jnp.maximum(total, 1e-12)[:, None]
+    return jnp.where((colored & (total > 0))[:, None], blended, rgb)
+
+
 # ---------------------------------------------------------------------------
 # Image sampling
 # ---------------------------------------------------------------------------

@@ -327,9 +327,22 @@ def _process_stages(cfg, camera, filtered_dir, result, timings, metrics):
     )
     timings["colorize_fuse"] = time.perf_counter() - t0
 
+    # 6b. Optional spatial color smoothing (smoothColorsWithLocalRegion,
+    # :634-703).
+    fused_rgb = fused.rgb
+    if cfg.fusion.local_smoothing_radius > 0:
+        t0 = time.perf_counter()
+        from ..ops import fusion as fusion_ops
+
+        fused_rgb = fusion_ops.smooth_colors_local(
+            map_cloud.points, fused.rgb, fused.colored,
+            cfg.fusion.local_smoothing_radius,
+        )
+        timings["local_smoothing"] = time.perf_counter() - t0
+
     # 7. Save outputs (saveColorizedPointCloud, :866-963).
     keep = fused.colored if cfg.fusion.drop_uncolored else map_cloud.valid
-    out_cloud = map_cloud._replace(rgb=fused.rgb, valid=keep)
+    out_cloud = map_cloud._replace(rgb=fused_rgb, valid=keep)
     out_path = os.path.join(cfg.output_path, "cloudInWorldWithRGB.pcd")
     pcd.write_cloud(out_path, out_cloud, include=("rgb",))
     result.colored_cloud_path = out_path
@@ -343,7 +356,7 @@ def _process_stages(cfg, camera, filtered_dir, result, timings, metrics):
         # Highlight labelled points in red, as generateSegmentMap does (:806-811).
         highlight = fused.best_label == cfg.fusion.mask_highlight_value
         rgb_hl = jnp.where(
-            highlight[:, None], jnp.asarray([255.0, 0.0, 0.0]), fused.rgb
+            highlight[:, None], jnp.asarray([255.0, 0.0, 0.0]), fused_rgb
         )
         pcd.write_cloud(
             mask_path,

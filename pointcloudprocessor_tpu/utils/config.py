@@ -145,6 +145,10 @@ class FusionConfig:
     reference_compat_orientation: bool = False
     drop_uncolored: bool = True  # removePointsWithNoColor (hpp:238-252)
     mask_highlight_value: int = 255  # generateSegmentMap :806 paints label 255 red
+    # Post-fusion spatial color smoothing (smoothColorsWithLocalRegion,
+    # :634-703); 0 disables (the reference's default path uses only the
+    # top-K blend).
+    local_smoothing_radius: float = 0.0
 
 
 @dataclass

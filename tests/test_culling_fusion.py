@@ -181,3 +181,49 @@ def test_voxel_average():
     assert nz.sum() == 2
     got = sorted(np.asarray(mean_vals)[nz].tolist())
     np.testing.assert_allclose(got, [2.0, 10.0])
+
+
+class TestLocalColorSmoothing:
+    def test_inverse_distance_blend(self):
+        """smoothColorsWithLocalRegion semantics: IDW average over radius
+        neighbors, uncolored points untouched."""
+        import jax.numpy as jnp
+
+        from pointcloudprocessor_tpu.ops import fusion
+
+        # Two tight clusters far apart; one outlier-colored point.
+        pts = np.array([
+            [0, 0, 0], [0.1, 0, 0], [0, 0.1, 0],     # cluster A
+            [5, 5, 5], [5.1, 5, 5],                  # cluster B
+            [9, 9, 9],                               # isolated, uncolored
+        ], np.float32)
+        rgb = np.array([
+            [255, 0, 0], [0, 255, 0], [0, 0, 255],
+            [100, 100, 100], [200, 200, 200],
+            [7, 7, 7],
+        ], np.float32)
+        colored = np.array([True, True, True, True, True, False])
+        out = np.asarray(fusion.smooth_colors_local(
+            jnp.asarray(pts), jnp.asarray(rgb), jnp.asarray(colored), radius=0.5
+        ))
+        # Cluster A points mix all three colors (each channel 0 < c < 255).
+        for i in range(3):
+            assert np.all(out[i] > 20) and np.all(out[i] < 235)
+        # Cluster B mixes only its two grays.
+        assert 100 < out[3].mean() < 200
+        # Uncolored point keeps its value.
+        np.testing.assert_array_equal(out[5], rgb[5])
+        # Weights: self weight 1, neighbor at 0.1 -> 1/1.01; check point 4.
+        w_self, w_n = 1.0, 1.0 / (1.0 + 0.1**2)
+        expect = (200 * w_self + 100 * w_n) / (w_self + w_n)
+        np.testing.assert_allclose(out[4], expect, atol=0.5)
+
+    def test_gaussian_distance_score(self):
+        import jax.numpy as jnp
+
+        from pointcloudprocessor_tpu.ops import fusion
+
+        pts = jnp.asarray([[0, 0, 2.0], [0, 0, 4.0]])
+        s = np.asarray(fusion.gaussian_distance_score(pts, ideal_distance=2.0, sigma=1.0))
+        np.testing.assert_allclose(s[0], 1.0, atol=1e-6)
+        np.testing.assert_allclose(s[1], np.exp(-2.0), atol=1e-6)
