@@ -66,9 +66,13 @@ def sharded_multi_nid_loss(
         )
         return jax.lax.psum(local_sum, mesh_lib.KF_AXIS)
 
+    # check_vma=False: the Pallas histogram kernel's out_shape carries no
+    # varying-mesh-axes annotation, which trips shard_map's vma checker on
+    # TPU; replication of the psum'd scalar output is guaranteed manually.
     return jax.shard_map(
         local,
         mesh=mesh,
+        check_vma=False,
         in_specs=(
             P(mesh_lib.KF_AXIS, mesh_lib.PT_AXIS),  # points
             P(mesh_lib.KF_AXIS, mesh_lib.PT_AXIS),  # intensity
