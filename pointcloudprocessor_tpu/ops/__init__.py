@@ -1,3 +1,3 @@
-from . import zbuffer, fusion, voxel
+from . import fusion, hpr, voxel, zbuffer
 
-__all__ = ["zbuffer", "fusion", "voxel"]
+__all__ = ["fusion", "hpr", "voxel", "zbuffer"]

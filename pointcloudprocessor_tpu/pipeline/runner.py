@@ -68,14 +68,26 @@ def _camera_to_world(frames, idx) -> se3.SE3:
 def cull_keyframe_host(camera, map_cloud, T_c2w, cfg) -> np.ndarray:
     """Visibility indices for one keyframe (host-compacted)."""
     T_w2c = se3.inverse(T_c2w)
-    pts_cam, mask = zbuffer.cull_world_points(
-        camera,
-        T_w2c,
-        map_cloud.points,
-        map_cloud.valid,
-        downsample_factor=cfg.culling.downsample_factor,
-        depth_epsilon=cfg.culling.depth_epsilon,
-    )
+    if cfg.culling.method == "hpr":
+        from ..ops import hpr
+
+        pts_cam, mask = hpr.cull_world_points(
+            camera,
+            T_w2c,
+            map_cloud.points,
+            map_cloud.valid,
+            radius=cfg.culling.hidden_points_removal_max_z,
+            tolerance=cfg.culling.hpr_tolerance,
+        )
+    else:
+        pts_cam, mask = zbuffer.cull_world_points(
+            camera,
+            T_w2c,
+            map_cloud.points,
+            map_cloud.valid,
+            downsample_factor=cfg.culling.downsample_factor,
+            depth_epsilon=cfg.culling.depth_epsilon,
+        )
     return np.flatnonzero(np.asarray(mask)), np.asarray(pts_cam)
 
 

@@ -69,16 +69,19 @@ class KeyframeConfig:
 
 @dataclass
 class CullingConfig:
-    """Z-buffer occlusion culling (the reference's TPU-expressible path,
-    `view_culling.cpp:52-174`; its qhull HPR default is not expressible as a
-    static-shape kernel — see ops/zbuffer.py for the equivalence argument)."""
+    """Occlusion culling. ``method`` selects between the two designs the
+    reference carries: "zbuffer" (`view_culling.cpp:52-174`, the default
+    here — see ops/zbuffer.py) and "hpr", the reference's active
+    spherical-flip hidden-point-removal path (`view_culling.cpp:266-334`)
+    rebuilt as a support-function hull test (see ops/hpr.py)."""
 
+    method: str = "zbuffer"  # "zbuffer" | "hpr"
     downsample_factor: int = 14  # view_culling.cpp:63
     depth_epsilon: float = 0.05  # view_culling.cpp:157
     enable_depth_buffer_culling: bool = True
-    # Reference HPR spherical-flip radius (view_culling.hpp:14); kept for the
-    # optional HPR mode.
+    # HPR spherical-flip radius (view_culling.hpp:14) and support slack.
     hidden_points_removal_max_z: float = 90000.0
+    hpr_tolerance: float = 0.05
 
 
 @dataclass

@@ -101,6 +101,24 @@ def test_e2e_colorize(tmp_path):
     assert len([d for d in dumps if d.endswith("_beforeNID.pcd")]) == 3
 
 
+def test_e2e_colorize_hpr_culling(tmp_path):
+    """Full pipeline with the reference's active culling design (spherical
+    flip + hull membership, ops/hpr.py) instead of the z-buffer."""
+    from pointcloudprocessor_tpu.pipeline import runner
+
+    write_dataset(tmp_path)
+    cfg = small_config(tmp_path)
+    cfg.culling.method = "hpr"
+    res = runner.process(cfg)
+    assert res.num_keyframes == 3
+    assert res.num_colored_points > 3000
+    out = pcd.read(res.colored_cloud_path)
+    gray_out = out.rgb.mean(-1) / 255.0
+    inten_out = np.clip(intensity_field(out.points[:, 0], out.points[:, 1]), 0, 1)
+    corr = np.corrcoef(gray_out, inten_out)[0, 1]
+    assert corr > 0.95, f"color/intensity correlation {corr}"
+
+
 def test_e2e_with_nid_refine(tmp_path):
     from pointcloudprocessor_tpu.core import se3
     from pointcloudprocessor_tpu.pipeline import runner
