@@ -1,3 +1,3 @@
-from . import pcd, odometry, images
+from . import frame_bin, images, odometry, pcd
 
-__all__ = ["pcd", "odometry", "images"]
+__all__ = ["frame_bin", "images", "odometry", "pcd"]

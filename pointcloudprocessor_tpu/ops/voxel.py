@@ -87,6 +87,60 @@ def voxel_average(
     )
 
 
+def randomgrid_sampling_mask(
+    key: jax.Array,
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    voxel_resolution: float,
+    sampling_rate: float,
+    table_size: int | None = None,
+) -> jnp.ndarray:
+    """Budgeted per-voxel random sampling — `randomgrid_sampling`
+    (`frame_cpu.cpp:454-509`) as a static-shape mask.
+
+    Reference semantics reproduced: per-voxel budget
+    ``ceil(rate·N / n_voxels)`` (:484), voxels at or under budget keep all
+    points, over-budget voxels keep a uniform random subset (:492-497), and
+    a global cap of ``1.2·rate·N`` trims by a second uniform draw
+    (:500-504). ``sampling_rate >= 0.99`` is a no-op (:455-458).
+
+    In-voxel ranking runs as one lexsort by (voxel slot, random priority)
+    instead of per-voxel reservoir sampling — O(N log N) on sorted lanes
+    rather than hash-map chasing.
+    """
+    if sampling_rate >= 0.99:
+        return valid
+    n = points.shape[0]
+    table_size = table_size or max(4 * n, 1024)
+    h = voxel_hash(voxel_coords(points, voxel_resolution), table_size)
+    h = jnp.where(valid, h, table_size)  # invalid -> sink bucket
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+
+    occupied = jnp.zeros((table_size + 1,), jnp.int32).at[h].max(
+        valid.astype(jnp.int32), mode="drop"
+    )
+    n_voxels = jnp.maximum(jnp.sum(occupied[:-1]), 1)
+    budget = jnp.ceil(sampling_rate * n_valid / n_voxels).astype(jnp.int32)
+
+    k1, k2 = jax.random.split(key)
+    pri = jax.random.uniform(k1, (n,))
+    order = jnp.lexsort((pri, h))  # group by voxel, random order within
+    h_sorted = h[order]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), h_sorted[1:] != h_sorted[:-1]])
+    group_start = jax.lax.cummax(jnp.where(is_start, pos, 0))
+    rank_sorted = pos - group_start
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
+    keep = valid & (rank < budget)
+
+    # Global cap: uniform re-draw down to 1.2*rate*N when over.
+    max_num = jnp.floor(1.2 * sampling_rate * n_valid).astype(jnp.int32)
+    pri2 = jnp.where(keep, jax.random.uniform(k2, (n,)), jnp.inf)
+    kth = jnp.sort(pri2)[jnp.clip(max_num - 1, 0, n - 1)]
+    over = jnp.sum(keep.astype(jnp.int32)) > max_num
+    return jnp.where(over, keep & (pri2 <= kth), keep)
+
+
 def random_sampling_mask(key: jax.Array, valid: jnp.ndarray, num_samples: int) -> jnp.ndarray:
     """Uniform random subset of valid points (mask with ~num_samples True) —
     analogue of `random_sampling` (`frame_cpu.cpp:346-360`)."""

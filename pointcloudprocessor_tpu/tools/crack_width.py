@@ -112,6 +112,13 @@ def build_pixel_masks(camera, frame: CrackFrame) -> None:
     frame.points_3d_mask = xyz_mask
 
 
+def point_to_plane_distance(p1, normal, p2) -> float:
+    """Distance from ``p2`` to the plane through ``p1`` with ``normal`` —
+    `scripts/math_tools.py:3-18` (used by the crack edge search)."""
+    p1, p2, n = np.asarray(p1, float), np.asarray(p2, float), np.asarray(normal, float)
+    return float(abs(np.dot(n, p2 - p1)) / np.linalg.norm(n))
+
+
 def local_plane(points_3d_mask: np.ndarray, x: int, y: int, radius: int = 150):
     """SVD plane fit of valid 3D points in a pixel window — `find_local_plane`
     (:601-636). Returns ((a,b,c,d), centroid) or None."""
