@@ -10,9 +10,11 @@ mass matrix in VMEM, and accumulates the (bins, bins) joint histogram with
 a single MXU contraction per block — nothing larger than a block ever
 touches HBM.
 
-Layout note: data is processed TRANSPOSED, (16, N) / (1, N), so the long
-axis N runs along the 128-wide vector lanes (an (N, 16) layout would waste
-7/8 of every lane group).
+Layout note: data is processed TRANSPOSED, (2, N) / (1, N), so the long
+axis N runs along the 128-wide vector lanes (an (N, k) layout would waste
+most of every lane group). The 16 4-bit taps arrive nibble-packed in two
+int32 words (half the gather bytes and table HBM of an int8 layout) and
+are unpacked with VPU shifts.
 
 The backward pass (pose gradient via the fractional offsets sx, sy) is a
 second Pallas kernel wired through `jax.custom_vjp` — the same structure
@@ -59,6 +61,13 @@ def _dweights(s):
     return jnp.stack([d0, d1, d2, d3])
 
 
+def _unpack_tap(words, t):
+    """(2, blk) packed nibble words -> (blk,) int32 tap t (see
+    opt.nid.pack_tap_nibbles layout)."""
+    w = words[t // 8].astype(jnp.uint32)
+    return ((w >> jnp.uint32(4 * (t % 8))) & jnp.uint32(0xF)).astype(jnp.int32)
+
+
 def _fwd_kernel(taps_ref, sx_ref, sy_ref, binpt_ref, inl_ref, hist_ref, bins: int):
     i = pl.program_id(0)
 
@@ -71,14 +80,14 @@ def _fwd_kernel(taps_ref, sx_ref, sy_ref, binpt_ref, inl_ref, hist_ref, bins: in
     inl = inl_ref[0]
     bx = _weights(sx)  # (4, blk)
     by = _weights(sy)
-    taps = taps_ref[:].astype(jnp.int32)  # (16, blk)
+    words = taps_ref[:]  # (2, blk) int32, 8 packed nibbles per word
 
     # M[b, n] = sum_t w_t[n] * [taps[t, n] == b]  (per-image-bin mass).
     blk = sx.shape[0]
     M = jnp.zeros((bins, blk), jnp.float32)
     for t in range(16):
         w_t = by[t // 4] * bx[t % 4] * inl  # (dy outer, dx inner) tap order
-        tap = taps[t]
+        tap = _unpack_tap(words, t)
         M = M + jnp.where(
             tap[None, :] == jax.lax.broadcasted_iota(jnp.int32, (bins, blk), 0),
             w_t[None, :],
@@ -107,7 +116,7 @@ def _bwd_kernel(g_ref, taps_ref, sx_ref, sy_ref, binpt_ref, inl_ref,
     inl = inl_ref[0]
     bx, by = _weights(sx), _weights(sy)
     dbx, dby = _dweights(sx), _dweights(sy)
-    taps = taps_ref[:].astype(jnp.int32)
+    words = taps_ref[:]  # (2, blk) int32 packed nibbles
     blk = sx.shape[0]
 
     # Grow[img, n] = g[bin_pts[n], img]: select each point's row of g.
@@ -125,7 +134,7 @@ def _bwd_kernel(g_ref, taps_ref, sx_ref, sy_ref, binpt_ref, inl_ref,
     dsy = jnp.zeros((blk,), jnp.float32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (bins, blk), 0)
     for t in range(16):
-        tap = taps[t]
+        tap = _unpack_tap(words, t)
         gsel = jnp.sum(jnp.where(tap[None, :] == iota, Grow, 0.0), axis=0)  # (blk,)
         ty, tx = t // 4, t % 4
         dsx = dsx + dbx[tx] * by[ty] * gsel
@@ -148,8 +157,9 @@ def joint_histogram(taps, s, bin_pts, inlier, bins: int = 16, interpret: bool = 
     """(bins, bins) joint histogram [point_bin, image_bin].
 
     Args:
-        taps: (N, 16) int8 image-bin values of each point's 4x4 window
-            ((dy, dx) tap order, from `opt.nid.build_tap_table` row gather).
+        taps: (N, 2) int32 nibble-packed image-bin values of each point's
+            4x4 window ((dy, dx) tap order, packed by
+            `opt.nid.pack_tap_nibbles`, from the tap-table row gather).
         s: (N, 2) fractional projection offsets (the pose-differentiable part).
         bin_pts: (N,) int32 LiDAR-intensity bins.
         inlier: (N,) float32 0/1 mask (already includes validity gates).
@@ -159,7 +169,7 @@ def joint_histogram(taps, s, bin_pts, inlier, bins: int = 16, interpret: bool = 
 
 def _fwd(taps, s, bin_pts, inlier, bins, interpret):
     n = taps.shape[0]
-    taps_t = _pad_to_block(taps.T)  # (16, Np)
+    taps_t = _pad_to_block(taps.T)  # (2, Np)
     sx = _pad_to_block(s[:, 0][None, :])  # (1, Np)
     sy = _pad_to_block(s[:, 1][None, :])
     bp = _pad_to_block(bin_pts[None, :].astype(jnp.int32))
@@ -171,7 +181,7 @@ def _fwd(taps, s, bin_pts, inlier, bins, interpret):
         functools.partial(_fwd_kernel, bins=bins),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((16, _BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, _BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -193,7 +203,7 @@ def _bwd(bins, interpret, residuals, g):
         grid=grid,
         in_specs=[
             pl.BlockSpec((bins, bins), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, _BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, _BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),

@@ -45,28 +45,38 @@ def minimize(
 
     def line_search(x, direction, val, g, alpha0):
         """Backtracking Armijo; also backtracks out of +inf (rejected)
-        regions. ONE objective evaluation per probed step: the candidate
-        value is computed in the body and carried, so the accepted step's
-        value is returned without a re-evaluation."""
+        regions. Every probe evaluates value AND gradient in one pass —
+        for reduction-dominated objectives (the NID sum) the gradient adds
+        ~5% to a forward evaluation, so probing with value_and_grad and
+        returning the accepted step's gradient is ~1/3 cheaper per BFGS
+        iteration than probing value-only and re-evaluating value+grad at
+        the accepted point."""
         dg = jnp.dot(g, direction)
 
         def accepted(alpha, new_val):
             return jnp.isfinite(new_val) & (new_val <= val + armijo_c1 * alpha * dg)
 
         def cond(state):
-            alpha, new_val, it = state
+            alpha, new_val, _, it = state
             return ~accepted(alpha, new_val) & (it < max_backtracks)
 
         def body(state):
-            alpha, _, it = state
+            alpha, _, _, it = state
             a = alpha * 0.5
-            return (a, f(x + a * direction), it + 1)
+            new_val, new_g = vg(x + a * direction)
+            return (a, new_val, new_g, it + 1)
 
-        alpha, new_val, it = jax.lax.while_loop(
-            cond, body, (alpha0, f(x + alpha0 * direction), 0)
+        v0, g0 = vg(x + alpha0 * direction)
+        alpha, new_val, new_g, it = jax.lax.while_loop(
+            cond, body, (alpha0, v0, g0, 0)
         )
         ok = accepted(alpha, new_val)
-        return jnp.where(ok, alpha, 0.0), jnp.where(ok, new_val, val), it
+        return (
+            jnp.where(ok, alpha, 0.0),
+            jnp.where(ok, new_val, val),
+            jnp.where(ok, new_g, g),
+            it,
+        )
 
     class State(NamedTuple):
         x: jnp.ndarray
@@ -75,9 +85,18 @@ def minimize(
         H: jnp.ndarray  # inverse Hessian approximation
         it: jnp.ndarray
         done: jnp.ndarray
+        prev_alpha: jnp.ndarray  # accepted step size of the last iteration
 
     val0, g0 = vg(x0)
-    s0 = State(x0, val0, g0, eye, jnp.asarray(0, jnp.int32), jnp.linalg.norm(g0) < grad_tol)
+    s0 = State(
+        x0,
+        val0,
+        g0,
+        eye,
+        jnp.asarray(0, jnp.int32),
+        jnp.linalg.norm(g0) < grad_tol,
+        jnp.asarray(1.0, dtype),
+    )
 
     def cond(st: State):
         return (~st.done) & (st.it < max_iterations)
@@ -91,16 +110,18 @@ def minimize(
 
         # First iteration (H = I): a raw step of size |g| overshoots badly
         # for steep objectives and burns ~log2|g| backtracks; start from the
-        # Nocedal-Wright alpha0 = min(1, 1/|g|) instead.
+        # Nocedal-Wright alpha0 = min(1, 1/|g|) instead. Later iterations
+        # warm-start from 1.5x the last accepted step (clamped to 1): when
+        # the objective systematically rejects alpha=1, this saves the
+        # rejected first probe while still growing back toward unit steps.
         alpha0 = jnp.where(
             st.it == 0,
             jnp.minimum(1.0, 1.0 / (jnp.linalg.norm(st.g) + 1e-12)).astype(dtype),
-            jnp.asarray(1.0, dtype),
+            jnp.clip(1.5 * st.prev_alpha, 1.0 / 16.0, 1.0).astype(dtype),
         )
-        alpha, _ls_val, _ = line_search(st.x, direction, st.val, st.g, alpha0)
+        alpha, val_new, g_new, _ = line_search(st.x, direction, st.val, st.g, alpha0)
         step = alpha * direction
         x_new = st.x + step
-        val_new, g_new = vg(x_new)
 
         s = step
         y = g_new - st.g
@@ -130,6 +151,7 @@ def minimize(
             H=jnp.where(keep_old, st.H, H_new),
             it=st.it + 1,
             done=done,
+            prev_alpha=jnp.where(stalled, st.prev_alpha, alpha),
         )
 
     final = jax.lax.while_loop(cond, body, s0)

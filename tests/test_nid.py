@@ -209,7 +209,7 @@ class TestPallasHistogram:
 
         rng = np.random.default_rng(0)
         n = 1000  # not a multiple of the 2048 block
-        taps = jnp.asarray(rng.integers(0, 16, (n, 16)).astype(np.int8))
+        taps = nid.pack_tap_nibbles(jnp.asarray(rng.integers(0, 16, (n, 16))))
         s = jnp.asarray(rng.uniform(0, 1, (n, 2)).astype(np.float32))
         bp = jnp.asarray(rng.integers(0, 16, (n,)).astype(np.int32))
         il = jnp.ones((n,), jnp.float32)
