@@ -105,16 +105,19 @@ def unpack_tap_nibbles(packed: jnp.ndarray) -> jnp.ndarray:
 def build_tap_table(bin_image: jnp.ndarray) -> jnp.ndarray:
     """(H, W) bin image -> (H*W, 2) int32 nibble-packed table of each pixel's
     4x4 B-spline window values (taps dy=-1..2 outer, dx=-1..2 inner, edges
-    clamped — matching the per-tap `jnp.clip` of the direct path bit-exactly)."""
+    clamped — matching the per-tap `jnp.clip` of the direct path bit-exactly).
+
+    Packs nibbles directly into two (H, W) word planes (16 shifted ORs, a
+    pure stencil) instead of materializing the (H*W, 16) tap tensor first —
+    at 4096x3000 that intermediate alone is 786 MB of HBM traffic."""
     h, w = bin_image.shape
-    p = jnp.pad(bin_image, ((1, 2), (1, 2)), mode="edge")
-    rows = [
-        p[1 + dy: 1 + dy + h, 1 + dx: 1 + dx + w]
-        for dy in (-1, 0, 1, 2)
-        for dx in (-1, 0, 1, 2)
-    ]
-    taps = jnp.stack(rows, axis=-1).reshape(h * w, 16)
-    return pack_tap_nibbles(taps)
+    p = jnp.pad(bin_image, ((1, 2), (1, 2)), mode="edge").astype(jnp.uint32)
+    words = [jnp.zeros((h, w), jnp.uint32), jnp.zeros((h, w), jnp.uint32)]
+    for t in range(16):
+        dy, dx = t // 4 - 1, t % 4 - 1
+        tap = p[1 + dy: 1 + dy + h, 1 + dx: 1 + dx + w]
+        words[t // 8] = words[t // 8] | (tap << jnp.uint32(4 * (t % 8)))
+    return jnp.stack(words, axis=-1).reshape(h * w, 2).astype(jnp.int32)
 
 
 def prepare_keyframes(kfs: NIDKeyframe) -> NIDKeyframe:

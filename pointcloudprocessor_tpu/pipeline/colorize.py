@@ -71,8 +71,15 @@ def observe_keyframe(
         camera, pts_cam, valid, downsample_factor=downsample_factor, depth_epsilon=depth_epsilon
     )
     pixels = cam.project(camera, pts_cam)
-    img = fusion.hsv_adjust(image_rgb.astype(jnp.float32), saturation_scale, brightness_scale)
-    rgb = fusion.sample_nearest(img, pixels)
+    # Sample the raw uint8 image, then HSV-adjust the samples: nearest
+    # sampling commutes with the per-pixel color map, and adjusting N points
+    # beats adjusting H*W pixels (12x fewer at the reference's 4096x3000 /
+    # 1M-point scale, and no float32 image materialization in HBM).
+    rgb = fusion.hsv_adjust(
+        fusion.sample_nearest(image_rgb, pixels).astype(jnp.float32),
+        saturation_scale,
+        brightness_scale,
+    )
     score = fusion.final_score(
         pts_cam,
         camera_position_world,
