@@ -123,3 +123,57 @@ def refine_pose(
         outer_iterations=final.it,
         converged=final.done,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bins", "max_outer_iterations", "max_inner_iterations"),
+)
+def refine_pose_per_keyframe(
+    camera: cam.PinholeCamera,
+    kfs: NIDKeyframe,  # batched over keyframes
+    T_init: se3.SE3,  # scalar or batched (K,) initial correction(s)
+    *,
+    bins: int = 16,
+    max_outer_iterations: int = 10,
+    max_inner_iterations: int = 64,
+    delta_trans_thresh: float = 0.01,
+    delta_rot_thresh: float = 0.017453,
+    trust_region_trans: float = 0.2,
+    trust_region_rot: float = 0.034907,
+) -> RefineResult:
+    """Independent NID correction per keyframe (batched solves, lockstep).
+
+    The TPU-native generalization of the reference's per-keyframe manual
+    optimized poses (`FrameData::addManualOptimizedPose`, honored by the
+    colorization branch `PointCloudProcessor.cpp:510-519`): where the
+    reference needs a human in the GUI loop per keyframe, here every
+    keyframe runs its own full BFGS refinement simultaneously under one
+    `vmap` — and, in `parallel/nid_shard.refine_per_keyframe_sharded`,
+    keyframes spread across devices with no cross-device reduction at all
+    (the solves are independent). The returned RefineResult fields are all
+    batched with a leading keyframe axis.
+    """
+    kfs = _nid.prepare_keyframes(kfs)
+    k = kfs.points.shape[0]
+    q0 = jnp.broadcast_to(T_init.q, (k, 4))
+    t0 = jnp.broadcast_to(T_init.t, (k, 3))
+
+    def solve_one(p, i, v, b, tap, q, t):
+        kf1 = NIDKeyframe(p[None], i[None], v[None], b[None], tap[None])
+        return refine_pose(
+            camera,
+            kf1,
+            se3.SE3(q, t),
+            bins=bins,
+            max_outer_iterations=max_outer_iterations,
+            max_inner_iterations=max_inner_iterations,
+            delta_trans_thresh=delta_trans_thresh,
+            delta_rot_thresh=delta_rot_thresh,
+            trust_region_trans=trust_region_trans,
+            trust_region_rot=trust_region_rot,
+        )
+
+    return jax.vmap(solve_one)(
+        kfs.points, kfs.intensity, kfs.valid, kfs.bin_image, kfs.tap_rows, q0, t0
+    )

@@ -97,6 +97,52 @@ def make_sharded_loss(mesh: Mesh):
     jax.jit,
     static_argnames=("mesh", "bins", "max_outer_iterations", "max_inner_iterations"),
 )
+def refine_per_keyframe_sharded(
+    camera: cam.PinholeCamera,
+    kfs: NIDKeyframe,
+    T_init: se3.SE3,
+    mesh: Mesh,
+    *,
+    bins: int = 16,
+    max_outer_iterations: int = 10,
+    max_inner_iterations: int = 64,
+):
+    """Per-keyframe NID refinement with keyframes sharded over the ``kf``
+    mesh axis. The solves are independent (no collectives): each device runs
+    the vmapped BFGS for its local keyframe shard — the embarrassingly
+    parallel limit of the reference's OpenMP-over-keyframes pattern. Returns
+    a RefineResult batched over keyframes (kf-sharded outputs)."""
+    from ..opt.refine import refine_pose_per_keyframe
+
+    kfs = prepare_keyframes(kfs)
+    k = kfs.points.shape[0]
+    q0 = jnp.broadcast_to(T_init.q, (k, 4))
+    t0 = jnp.broadcast_to(T_init.t, (k, 3))
+
+    def local(points, intensity, valid, bin_image, tap_rows, q, t):
+        return refine_pose_per_keyframe(
+            camera,
+            NIDKeyframe(points, intensity, valid, bin_image, tap_rows),
+            se3.SE3(q, t),
+            bins=bins,
+            max_outer_iterations=max_outer_iterations,
+            max_inner_iterations=max_inner_iterations,
+        )
+
+    kf_spec = P(mesh_lib.KF_AXIS)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(kf_spec,) * 7,
+        out_specs=kf_spec,
+        check_vma=False,
+    )(kfs.points, kfs.intensity, kfs.valid, kfs.bin_image, kfs.tap_rows, q0, t0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "bins", "max_outer_iterations", "max_inner_iterations"),
+)
 def refine_pose_sharded(
     camera: cam.PinholeCamera,
     kfs: NIDKeyframe,

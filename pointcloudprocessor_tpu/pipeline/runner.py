@@ -246,7 +246,12 @@ def _process_stages(cfg, camera, filtered_dir, result, timings, metrics):
             metrics.log("nid_resumed", path=corr_path)
         else:
             t0 = time.perf_counter()
-            res = refine.refine_pose(
+            refine_fn = (
+                refine.refine_pose_per_keyframe
+                if cfg.nid.per_keyframe
+                else refine.refine_pose
+            )
+            res = refine_fn(
                 camera,
                 kfs,
                 T_correction,
@@ -259,7 +264,7 @@ def _process_stages(cfg, camera, filtered_dir, result, timings, metrics):
                 trust_region_rot=np.radians(cfg.nid.trust_region_rot_deg),
             )
             T_correction = res.T_camera_lidar
-            result.nid_value = float(res.nid)
+            result.nid_value = float(jnp.sum(res.nid))
             timings["nid_refine"] = time.perf_counter() - t0
             import json
 
@@ -269,8 +274,9 @@ def _process_stages(cfg, camera, filtered_dir, result, timings, metrics):
                         "quat_wxyz": np.asarray(T_correction.q).tolist(),
                         "translation": np.asarray(T_correction.t).tolist(),
                         "nid": result.nid_value,
-                        "outer_iterations": int(res.outer_iterations),
-                        "converged": bool(res.converged),
+                        "per_keyframe": bool(cfg.nid.per_keyframe),
+                        "outer_iterations": np.asarray(res.outer_iterations).tolist(),
+                        "converged": np.asarray(res.converged).tolist(),
                     },
                     f,
                     indent=2,
@@ -278,8 +284,8 @@ def _process_stages(cfg, camera, filtered_dir, result, timings, metrics):
             metrics.log(
                 "nid_refined",
                 nid=result.nid_value,
-                outer_iterations=int(res.outer_iterations),
-                converged=bool(res.converged),
+                outer_iterations=np.asarray(res.outer_iterations).tolist(),
+                converged=np.asarray(res.converged).tolist(),
             )
     result.T_correction = T_correction
 

@@ -119,6 +119,10 @@ class NIDConfig:
     trust_region_rot_deg: float = 2.0
     recull_every_outer_iter: bool = False  # reference loads the same culled
     # clouds every outer iter (visual_camera_calibration.cpp:160-167)
+    # Solve an independent correction per keyframe (the TPU-native
+    # generalization of per-keyframe manual poses, FrameData.cpp:31-34)
+    # instead of the reference's single shared correction.
+    per_keyframe: bool = False
 
 
 @dataclass
