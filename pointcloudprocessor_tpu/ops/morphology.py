@@ -69,6 +69,14 @@ def skeletonize(mask: np.ndarray, max_iterations: int = 10_000) -> np.ndarray:
     return img * np.uint8(255)
 
 
+def gaussian_blur(image: np.ndarray, sigma: float = 1.0) -> np.ndarray:
+    """Gaussian smoothing of a mask/skeleton image — the standalone
+    experiment in `scripts/evalSkeletonDirection.py:5-19` (there via
+    `cv2.GaussianBlur`) and the pre-smoothing step of
+    :func:`structure_tensor_directions`."""
+    return ndimage.gaussian_filter(image.astype(np.float64), sigma=sigma)
+
+
 def structure_tensor_directions(
     image: np.ndarray,
     points_xy: np.ndarray,
