@@ -74,6 +74,28 @@ def _compress_cov(cov: np.ndarray) -> np.ndarray:
     )
 
 
+def take(frame: FrameBin, indices: np.ndarray) -> FrameBin:
+    """Reorder/subset every attribute by ``indices`` — `sample`
+    (frame_cpu.cpp:294-343) as one fancy-index."""
+    pick = lambda a: None if a is None else a[indices]
+    return FrameBin(
+        points=frame.points[indices],
+        times=pick(frame.times),
+        normals=pick(frame.normals),
+        covs=pick(frame.covs),
+        intensities=pick(frame.intensities),
+        aux={k: v[indices] for k, v in frame.aux.items()},
+    )
+
+
+def sort_by_time(frame: FrameBin) -> FrameBin:
+    """Stable time-ordering of all attributes — `sort_by_time`
+    (frame_cpu.hpp:193-196)."""
+    if frame.times is None:
+        return frame
+    return take(frame, np.argsort(frame.times, kind="stable"))
+
+
 def load(path: str) -> FrameBin:
     """Load a frame directory; raises FileNotFoundError when neither
     points.bin nor points_compact.bin exists (frame_cpu.cpp:258-260)."""

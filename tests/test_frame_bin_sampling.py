@@ -91,6 +91,15 @@ def test_randomgrid_sampling_high_rate_noop():
     np.testing.assert_array_equal(np.asarray(mask), np.asarray(valid))
 
 
+def test_sort_by_time_orders_all_attributes():
+    f = _frame(seed=4)
+    g = frame_bin.sort_by_time(f)
+    assert (np.diff(g.times) >= 0).all()
+    order = np.argsort(f.times, kind="stable")
+    np.testing.assert_array_equal(g.points, f.points[order])
+    np.testing.assert_array_equal(g.aux["label"], f.aux["label"][order])
+
+
 def test_point_to_plane_distance():
     from pointcloudprocessor_tpu.tools.crack_width import point_to_plane_distance
 
