@@ -26,6 +26,7 @@ class BFGSResult(NamedTuple):
     grad_norm: jnp.ndarray
     iterations: jnp.ndarray
     converged: jnp.ndarray
+    evaluations: jnp.ndarray  # total value_and_grad calls (objective cost)
 
 
 def minimize(
@@ -75,7 +76,7 @@ def minimize(
             jnp.where(ok, alpha, 0.0),
             jnp.where(ok, new_val, val),
             jnp.where(ok, new_g, g),
-            it,
+            it + 1,  # total probes = backtracks + the alpha0 evaluation
         )
 
     class State(NamedTuple):
@@ -86,6 +87,7 @@ def minimize(
         it: jnp.ndarray
         done: jnp.ndarray
         prev_alpha: jnp.ndarray  # accepted step size of the last iteration
+        evals: jnp.ndarray  # cumulative value_and_grad calls
 
     val0, g0 = vg(x0)
     s0 = State(
@@ -96,6 +98,7 @@ def minimize(
         jnp.asarray(0, jnp.int32),
         jnp.linalg.norm(g0) < grad_tol,
         jnp.asarray(1.0, dtype),
+        jnp.asarray(1, jnp.int32),
     )
 
     def cond(st: State):
@@ -119,7 +122,7 @@ def minimize(
             jnp.minimum(1.0, 1.0 / (jnp.linalg.norm(st.g) + 1e-12)).astype(dtype),
             jnp.clip(1.5 * st.prev_alpha, 1.0 / 16.0, 1.0).astype(dtype),
         )
-        alpha, val_new, g_new, _ = line_search(st.x, direction, st.val, st.g, alpha0)
+        alpha, val_new, g_new, probes = line_search(st.x, direction, st.val, st.g, alpha0)
         step = alpha * direction
         x_new = st.x + step
 
@@ -152,6 +155,7 @@ def minimize(
             it=st.it + 1,
             done=done,
             prev_alpha=jnp.where(stalled, st.prev_alpha, alpha),
+            evals=st.evals + probes,
         )
 
     final = jax.lax.while_loop(cond, body, s0)
@@ -161,4 +165,5 @@ def minimize(
         grad_norm=jnp.linalg.norm(final.g),
         iterations=final.it,
         converged=final.done,
+        evaluations=final.evals,
     )

@@ -40,6 +40,7 @@ class RefineResult(NamedTuple):
     nid: jnp.ndarray  # final summed NID
     outer_iterations: jnp.ndarray
     converged: jnp.ndarray
+    evaluations: jnp.ndarray  # total objective (value+grad) evaluations
 
 
 def _guarded_objective(camera, kfs, bins, trust_trans, trust_rot, loss_fn):
@@ -95,6 +96,7 @@ def refine_pose(
         nid: jnp.ndarray
         it: jnp.ndarray
         done: jnp.ndarray
+        evals: jnp.ndarray
 
     def cond(st: Outer):
         return (~st.done) & (st.it < max_outer_iterations)
@@ -108,13 +110,20 @@ def refine_pose(
         T_new = se3.compose(st.T, se3.exp(res.x))
         dt, dr = se3.delta_magnitudes(st.T, T_new)
         converged = (dt < delta_trans_thresh) & (dr < delta_rot_thresh)
-        return Outer(T=T_new, nid=res.value, it=st.it + 1, done=converged)
+        return Outer(
+            T=T_new,
+            nid=res.value,
+            it=st.it + 1,
+            done=converged,
+            evals=st.evals + res.evaluations,
+        )
 
     init = Outer(
         T=T_init,
         nid=jnp.asarray(jnp.inf, T_init.t.dtype),
         it=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
+        evals=jnp.asarray(0, jnp.int32),
     )
     final = jax.lax.while_loop(cond, body, init)
     return RefineResult(
@@ -122,6 +131,7 @@ def refine_pose(
         nid=final.nid,
         outer_iterations=final.it,
         converged=final.done,
+        evaluations=final.evals,
     )
 
 
