@@ -229,24 +229,36 @@ def exp(tangent: jnp.ndarray) -> SE3:
     """
     rho, omega = tangent[..., :3], tangent[..., 3:]
     theta2 = jnp.sum(omega * omega, axis=-1)
-    small = theta2 < 1e-8
+    # Wide Taylor window (theta < 0.1 rad): the exact branch's 1-cos(theta)
+    # cancels catastrophically in f32 for small theta; the theta^4 Taylor
+    # terms keep the truncation error at ~f32 eps at the boundary.
+    small = theta2 < 1e-2
     # NaN-safe branching: the unselected `where` branch is still evaluated (and
     # differentiated), so its denominators must be clamped away from zero.
     theta2_safe = jnp.where(small, jnp.ones_like(theta2), theta2)
     theta = jnp.sqrt(theta2_safe)
+    theta4 = theta2 * theta2
 
     # Quaternion exp of omega/2.
     half = 0.5 * theta
-    sinc_half = jnp.where(small, 0.5 - theta2 / 48.0, jnp.sin(half) / theta)
-    qw = jnp.where(small, 1.0 - theta2 / 8.0, jnp.cos(half))
+    sinc_half = jnp.where(
+        small, 0.5 - theta2 / 48.0 + theta4 / 3840.0, jnp.sin(half) / theta
+    )
+    qw = jnp.where(small, 1.0 - theta2 / 8.0 + theta4 / 384.0, jnp.cos(half))
     qv = omega * sinc_half[..., None]
     q = quat_normalize(jnp.concatenate([qw[..., None], qv], axis=-1))
 
     # V matrix: I + (1-cos)/theta^2 W + (theta-sin)/theta^3 W^2
     W = _skew(omega)
     W2 = W @ W
-    a = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
-    b = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2_safe * theta))
+    a = jnp.where(
+        small, 0.5 - theta2 / 24.0 + theta4 / 720.0, (1.0 - jnp.cos(theta)) / theta2_safe
+    )
+    b = jnp.where(
+        small,
+        1.0 / 6.0 - theta2 / 120.0 + theta4 / 5040.0,
+        (theta - jnp.sin(theta)) / (theta2_safe * theta),
+    )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=tangent.dtype), W.shape)
     V = eye + a[..., None, None] * W + b[..., None, None] * W2
     t = jnp.squeeze(V @ rho[..., :, None], -1)
@@ -259,10 +271,25 @@ def log(x: SE3) -> jnp.ndarray:
     # Ensure w >= 0 for a principal log.
     q = jnp.where(q[..., :1] < 0, -q, q)
     w = jnp.clip(q[..., 0], -1.0, 1.0)
-    vnorm = jnp.linalg.norm(q[..., 1:], axis=-1)
+    # Differentiable-at-identity formulation: |v| has a NaN derivative at 0,
+    # so the small branch is written in terms of the smooth |v|^2 (this is
+    # load-bearing — the pose-graph Jacobians evaluate log at exactly-zero
+    # residuals when the graph is consistent). The Taylor window is wide
+    # (theta < ~0.1 rad): the exact branch's 1-cos(theta) cancels
+    # catastrophically in f32 below that, while the Taylor truncation error
+    # at the boundary is ~f32 eps.
+    v2 = jnp.sum(q[..., 1:] * q[..., 1:], axis=-1)
+    small = v2 < 2.5e-3  # |v| = sin(theta/2), so theta < ~0.1 rad
+    vnorm = jnp.sqrt(jnp.where(small, 1.0, v2))
     theta = 2.0 * jnp.arctan2(vnorm, w)
-    small = theta * theta < 1e-8
-    scale = jnp.where(small, 2.0 + theta * theta / 12.0, theta / jnp.maximum(vnorm, _EPS))
+    w_safe = jnp.maximum(w, 0.5)  # small branch only (w ~ 1 there)
+    # scale = 2 atan2(|v|, w)/|v| = (2/w)(1 - t^2/3 + t^4/5 - ...), t = |v|/w
+    t2 = v2 / (w_safe * w_safe)
+    scale = jnp.where(
+        small,
+        (2.0 / w_safe) * (1.0 - t2 / 3.0 + t2 * t2 / 5.0),
+        theta / vnorm,
+    )
     omega = q[..., 1:] * scale[..., None]
 
     theta2 = jnp.sum(omega * omega, axis=-1)

@@ -1,3 +1,3 @@
-from . import bfgs, dfo, nid, pnp, refine
+from . import bfgs, dfo, nid, pnp, pose_graph, refine
 
-__all__ = ["bfgs", "dfo", "nid", "pnp", "refine"]
+__all__ = ["bfgs", "dfo", "nid", "pnp", "pose_graph", "refine"]

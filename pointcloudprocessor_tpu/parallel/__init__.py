@@ -1,3 +1,3 @@
-from . import mesh, nid_shard
+from . import mesh, nid_shard, pose_graph_shard
 
-__all__ = ["mesh", "nid_shard"]
+__all__ = ["mesh", "nid_shard", "pose_graph_shard"]

@@ -265,6 +265,27 @@ def _process_stages(cfg, camera, filtered_dir, result, timings, metrics):
             )
             T_correction = res.T_camera_lidar
             result.nid_value = float(jnp.sum(res.nid))
+            if cfg.nid.per_keyframe and cfg.nid.smooth_trajectory:
+                # Pose-graph MAP smoothing: fuse the independent per-keyframe
+                # corrections with the VO chain, then fold the smoothed
+                # trajectory back into per-keyframe corrections so the
+                # colorization branch keeps its single interface.
+                from ..opt import pose_graph
+
+                c2w = _camera_to_world(frames, kf_idx)
+                pg = pose_graph.smooth_refined_trajectory(
+                    c2w,
+                    T_correction,
+                    converged=res.converged,
+                    abs_weight=cfg.nid.smooth_abs_weight,
+                    odo_weight=cfg.nid.smooth_odo_weight,
+                )
+                T_correction = se3.compose(se3.inverse(c2w), pg.poses)
+                metrics.log(
+                    "pose_graph_smoothed",
+                    residual_norm=float(pg.residual_norm),
+                    initial_residual_norm=float(pg.initial_residual_norm),
+                )
             timings["nid_refine"] = time.perf_counter() - t0
             import json
 

@@ -123,6 +123,12 @@ class NIDConfig:
     # generalization of per-keyframe manual poses, FrameData.cpp:31-34)
     # instead of the reference's single shared correction.
     per_keyframe: bool = False
+    # Pose-graph fusion of the per-keyframe corrections with the VO chain
+    # (opt/pose_graph.py): non-converged refinements ride the odometry,
+    # converged ones pull the trajectory. Only used with per_keyframe.
+    smooth_trajectory: bool = False
+    smooth_odo_weight: float = 10.0
+    smooth_abs_weight: float = 1.0
 
 
 @dataclass

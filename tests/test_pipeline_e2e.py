@@ -135,6 +135,27 @@ def test_e2e_with_nid_refine(tmp_path):
     assert float(dr) < 0.05
 
 
+def test_e2e_per_keyframe_refine_with_pose_graph(tmp_path):
+    from pointcloudprocessor_tpu.core import se3
+    from pointcloudprocessor_tpu.pipeline import runner
+
+    write_dataset(tmp_path)
+    cfg = small_config(tmp_path, enable_nid_optimize=True)
+    cfg.nid.max_inner_iterations = 10
+    cfg.nid.max_outer_iterations = 2
+    cfg.nid.per_keyframe = True
+    cfg.nid.smooth_trajectory = True
+    res = runner.process(cfg)
+    assert np.isfinite(res.nid_value)
+    # Aligned data: every smoothed per-keyframe correction stays near identity.
+    k = res.T_correction.t.shape[0]
+    dt, dr = se3.delta_magnitudes(
+        res.T_correction, se3.identity(batch_shape=(k,))
+    )
+    assert float(np.max(np.asarray(dt))) < 0.05
+    assert float(np.max(np.asarray(dr))) < 0.05
+
+
 def test_e2e_with_masks(tmp_path):
     from pointcloudprocessor_tpu.pipeline import runner
 

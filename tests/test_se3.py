@@ -122,3 +122,11 @@ def test_delta_magnitudes():
     # exp couples rho/omega through the V matrix, so |t| is only ~0.1.
     np.testing.assert_allclose(float(dt), 0.1, atol=1e-3)
     np.testing.assert_allclose(float(dr), 0.05, atol=1e-4)
+
+
+def test_log_differentiable_at_identity():
+    """|v| has a NaN derivative at 0; log must be written around |v|^2 so
+    pose-graph Jacobians are finite when residuals are exactly zero."""
+    J = jax.jacfwd(lambda xi: se3.log(se3.exp(xi)))(jnp.zeros(6, jnp.float32))
+    assert np.all(np.isfinite(np.asarray(J)))
+    np.testing.assert_allclose(np.asarray(J), np.eye(6), atol=1e-5)
