@@ -79,7 +79,46 @@ def main():
         )
     )
     ok = abs(sharded - local) < 1e-4
+
+    # Pose-graph smoother across the same 2-process mesh: unary blocks
+    # assemble on their home shard, chain solve replicated.
+    from pointcloudprocessor_tpu.opt import pose_graph
+    from pointcloudprocessor_tpu.parallel import pose_graph_shard
+
+    rng = np.random.default_rng(7)  # same seed on both processes
+    kk = 4
+    tang = np.cumsum(
+        rng.uniform(-0.2, 0.4, size=(kk, 6)).astype(np.float32), axis=0
+    )
+    c2w = se3.exp(jnp.asarray(tang))
+    noise = rng.normal(0, 0.01, size=(kk, 6)).astype(np.float32)
+    meas = se3.compose(c2w, se3.exp(jnp.asarray(noise)))
+    odo = pose_graph.relative_measurements(c2w)
+    repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+
+    def place_repl(x):
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(arr.shape, repl, lambda idx: arr[idx])
+
+    pg_sharded = pose_graph_shard.optimize_sharded(
+        mesh,
+        se3.SE3(place_repl(c2w.q), place_repl(c2w.t)),
+        se3.SE3(place_repl(odo.q), place_repl(odo.t)),
+        se3.SE3(place_repl(meas.q), place_repl(meas.t)),
+        abs_weight=place_repl(np.ones(kk, np.float32)),
+        iterations=4,
+    )
+    pg_local = pose_graph.optimize(
+        c2w, odo, meas, abs_weight=jnp.ones(kk), iterations=4
+    )
+    pg_err = float(
+        jnp.max(jnp.abs(jnp.asarray(pg_sharded.poses.t) - pg_local.poses.t))
+    )
+    pg_ok = pg_err < 5e-3
+
+    ok = ok and pg_ok
     print(f"proc {proc}: sharded={sharded:.6f} local={local:.6f} "
+          f"pose_graph_err={pg_err:.2e} "
           f"{'MULTIHOST_OK' if ok else 'MULTIHOST_MISMATCH'}", flush=True)
     sys.exit(0 if ok else 1)
 
