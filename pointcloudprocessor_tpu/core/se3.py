@@ -200,6 +200,24 @@ def transform_points(x: SE3, points: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def transform_xyz(
+    T: SE3, x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Apply a single transform to points given as separate coordinate
+    arrays, returning separate arrays.
+
+    Hot-path form: a materialized (N, 3) result puts the size-3 axis in the
+    TPU lane dimension (padded to 128 — ~40x the memory traffic), which
+    costs ~15 ms per million points per pass. Pipelines keep coordinates as
+    full-lane 1D arrays and only stack at API boundaries.
+    """
+    R = quat_to_matrix(T.q)
+    cx = R[0, 0] * x + R[0, 1] * y + R[0, 2] * z + T.t[0]
+    cy = R[1, 0] * x + R[1, 1] * y + R[1, 2] * z + T.t[1]
+    cz = R[2, 0] * x + R[2, 1] * y + R[2, 2] * z + T.t[2]
+    return cx, cy, cz
+
+
 def matrix(x: SE3) -> jnp.ndarray:
     """(..., 4, 4) homogeneous matrix."""
     R = quat_to_matrix(x.q)

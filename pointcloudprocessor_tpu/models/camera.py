@@ -88,6 +88,42 @@ def distort(camera: PinholeCamera, pt: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([xd, yd], axis=-1)
 
 
+def project_xyz(
+    camera: PinholeCamera, px: jnp.ndarray, py: jnp.ndarray, pz: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Project camera-frame points given as separate coordinate arrays to
+    pixel coordinate arrays ``(u, v)``.
+
+    Hot-path form: no (N, 3) or (N, 2) stack is ever materialized (tiny
+    trailing axes land in the padded TPU lane dimension — see
+    `se3.transform_xyz`).
+    """
+    safe_z = jnp.where(jnp.abs(pz) < 1e-9, jnp.where(pz < 0, -1e-9, 1e-9), pz)
+    x = px / safe_z
+    y = py / safe_z
+    k1, k2, p1, p2, k3 = (camera.distortion[i] for i in range(5))
+    x2, y2, xy = x * x, y * y, x * y
+    r2 = x2 + y2
+    r4 = r2 * r2
+    r6 = r2 * r4
+    r_coeff = 1.0 + k1 * r2 + k2 * r4 + k3 * r6
+    xd = r_coeff * x + p1 * (2.0 * xy) + p2 * (r2 + 2.0 * x2)
+    yd = r_coeff * y + p1 * (r2 + 2.0 * y2) + p2 * (2.0 * xy)
+    fx, fy, cx, cy = (camera.intrinsic[i] for i in range(4))
+    return fx * xd + cx, fy * yd + cy
+
+
+def project_uv(
+    camera: PinholeCamera, points: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Project camera-frame 3D points (..., 3) to pixel coordinate ARRAYS
+    ``(u, v)``, each (...,). See :func:`project_xyz` for the layout
+    rationale."""
+    return project_xyz(
+        camera, points[..., 0], points[..., 1], points[..., 2]
+    )
+
+
 def project(camera: PinholeCamera, points: jnp.ndarray) -> jnp.ndarray:
     """Project camera-frame 3D points (..., 3) to pixels (..., 2).
 
@@ -95,20 +131,23 @@ def project(camera: PinholeCamera, points: jnp.ndarray) -> jnp.ndarray:
     with z ≈ 0 are guarded against division blow-up; callers gate on z > 0
     (as the reference does at `PointCloudProcessor.cpp:748`).
     """
-    z = points[..., 2]
-    safe_z = jnp.where(jnp.abs(z) < 1e-9, jnp.where(z < 0, -1e-9, 1e-9), z)
-    pt2d = points[..., :2] / safe_z[..., None]
-    ptd = distort(camera, pt2d)
-    fx, fy, cx, cy = (camera.intrinsic[i] for i in range(4))
-    return jnp.stack([fx * ptd[..., 0] + cx, fy * ptd[..., 1] + cy], axis=-1)
+    u, v = project_uv(camera, points)
+    return jnp.stack([u, v], axis=-1)
+
+
+def in_image_uv(
+    camera: PinholeCamera, u: jnp.ndarray, v: jnp.ndarray
+) -> jnp.ndarray:
+    """Bounds mask from separate pixel-coordinate arrays (hot-path form)."""
+    uf = jnp.floor(u)
+    vf = jnp.floor(v)
+    return (uf >= 0) & (uf < camera.width) & (vf >= 0) & (vf < camera.height)
 
 
 def in_image(camera: PinholeCamera, pixels: jnp.ndarray) -> jnp.ndarray:
     """Bounds mask using the reference's integer-truncation convention
     (`view_culling.cpp:284-288`: cast to int then compare against [0, size))."""
-    u = jnp.floor(pixels[..., 0])
-    v = jnp.floor(pixels[..., 1])
-    return (u >= 0) & (u < camera.width) & (v >= 0) & (v < camera.height)
+    return in_image_uv(camera, pixels[..., 0], pixels[..., 1])
 
 
 def undistort(camera: PinholeCamera, pt_d: jnp.ndarray, iterations: int = 8) -> jnp.ndarray:

@@ -23,33 +23,71 @@ import jax.numpy as jnp
 class TopKColors(NamedTuple):
     """Per-point running best-K color observations.
 
-    scores: (N, K) finalScore per slot; empty slots hold -inf.
-    rgb:    (N, K, 3) colors [0, 255].
+    TPU layout note: the slot axis K leads (K, N) so the long point axis
+    sits in the 128-lane minor dimension — a (N, K) layout pads K up to 128
+    lanes (25x memory for K=5) and made the register update ~4x slower.
+    Colors live as 0xRRGGBB-packed int32, one word per observation.
+
+    scores: (K, N) finalScore per slot; empty slots hold -inf.
+    rgb:    (K, N) packed int32 colors.
     """
 
     scores: jnp.ndarray
     rgb: jnp.ndarray
 
 
+def pack_rgb(rgb: jnp.ndarray) -> jnp.ndarray:
+    """Pack (..., 3) [0,255] colors into 0xRRGGBB int32 (...,)."""
+    c = jnp.clip(rgb, 0, 255).astype(jnp.int32)
+    return (c[..., 0] << 16) | (c[..., 1] << 8) | c[..., 2]
+
+
+def unpack_rgb(packed: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """Unpack 0xRRGGBB int32 (...,) to (..., 3) colors."""
+    r = (packed >> 16) & 0xFF
+    g = (packed >> 8) & 0xFF
+    b = packed & 0xFF
+    return jnp.stack([r, g, b], axis=-1).astype(dtype)
+
+
+def pack_image_rgb(image: jnp.ndarray) -> jnp.ndarray:
+    """Pack an (H, W, 3) uint8 image into a flat (H*W,) 0xRRGGBB int32 array.
+
+    One sequential-bandwidth pass per keyframe; downstream per-point color
+    gathers then fetch ONE int32 word instead of a 3-byte sub-row (TPU
+    gathers are row-granular, and a 3-wide trailing axis wastes the lane
+    dimension).
+    """
+    im = image.astype(jnp.int32)
+    return ((im[..., 0] << 16) | (im[..., 1] << 8) | im[..., 2]).reshape(-1)
+
+
 def init_topk(num_points: int, k: int = 5, dtype=jnp.float32) -> TopKColors:
     return TopKColors(
-        scores=jnp.full((num_points, k), -jnp.inf, dtype),
-        rgb=jnp.zeros((num_points, k, 3), dtype),
+        scores=jnp.full((k, num_points), -jnp.inf, dtype),
+        rgb=jnp.zeros((k, num_points), jnp.int32),
     )
 
 
-def update_topk(state: TopKColors, score: jnp.ndarray, rgb: jnp.ndarray, valid: jnp.ndarray) -> TopKColors:
+def update_topk(
+    state: TopKColors, score: jnp.ndarray, rgb: jnp.ndarray, valid: jnp.ndarray
+) -> TopKColors:
     """Insert one candidate observation per point (replace the current min
     slot if the candidate beats it). O(K) vector ops, no sort.
+
+    ``rgb`` is packed int32 (N,); float (..., 3) input is packed on entry
+    for convenience.
     """
+    if rgb.ndim == score.ndim + 1:
+        rgb = pack_rgb(rgb)
     cand = jnp.where(valid, score, -jnp.inf)
-    min_idx = jnp.argmin(state.scores, axis=-1)  # (N,)
-    min_val = jnp.take_along_axis(state.scores, min_idx[:, None], axis=-1)[:, 0]
+    k = state.scores.shape[0]
+    min_val = jnp.min(state.scores, axis=0)  # (N,)
+    min_idx = jnp.argmin(state.scores, axis=0)
     do = cand > min_val
-    k = state.scores.shape[-1]
-    onehot = jax.nn.one_hot(min_idx, k, dtype=bool) & do[:, None]
-    new_scores = jnp.where(onehot, cand[:, None], state.scores)
-    new_rgb = jnp.where(onehot[..., None], rgb[:, None, :], state.rgb)
+    onehot = (jnp.arange(k)[:, None] == min_idx[None, :]) & do[None, :]
+    new_scores = jnp.where(onehot, cand[None, :], state.scores)
+    new_rgb = jnp.where(onehot, rgb[None, :], state.rgb)
     return TopKColors(new_scores, new_rgb)
 
 
@@ -63,11 +101,14 @@ def blend_topk(state: TopKColors) -> tuple[jnp.ndarray, jnp.ndarray]:
             (uncolored points are dropped downstream per
             ``removePointsWithNoColor``, hpp:238-252).
     """
-    w = jnp.where(jnp.isfinite(state.scores), state.scores, 0.0)
-    total = jnp.sum(w, axis=-1)
+    w = jnp.where(jnp.isfinite(state.scores), state.scores, 0.0)  # (K, N)
+    total = jnp.sum(w, axis=0)
     colored = total > 0.0
-    rgb = jnp.sum(state.rgb * w[..., None], axis=-2) / jnp.maximum(total, 1e-12)[:, None]
-    return rgb, colored
+    inv = 1.0 / jnp.maximum(total, 1e-12)
+    r = jnp.sum(((state.rgb >> 16) & 0xFF).astype(w.dtype) * w, axis=0) * inv
+    g = jnp.sum(((state.rgb >> 8) & 0xFF).astype(w.dtype) * w, axis=0) * inv
+    b = jnp.sum((state.rgb & 0xFF).astype(w.dtype) * w, axis=0) * inv
+    return jnp.stack([r, g, b], axis=-1), colored
 
 
 # ---------------------------------------------------------------------------
@@ -112,6 +153,33 @@ def final_score(points_camera, camera_position_world=None, *, optimal_distance=2
     """(orientation + distance) / 2 — `PointCloudProcessor.cpp:588`."""
     o = orientation_score(points_camera, camera_position_world, score_floor, reference_compat)
     d = distance_score(points_camera, optimal_distance, score_floor)
+    return 0.5 * (o + d)
+
+
+def final_score_xyz(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    z: jnp.ndarray,
+    rng: jnp.ndarray,  # |p| precomputed (shared with the z-buffer cull)
+    camera_position_world: jnp.ndarray | None = None,
+    *,
+    optimal_distance: float = 2.0,
+    score_floor: float = 0.2,
+    reference_compat: bool = False,
+) -> jnp.ndarray:
+    """`final_score` on separate coordinate arrays (hot-path form — no
+    (N, 3) stack, and the range norm is shared with culling)."""
+    if reference_compat and camera_position_world is not None:
+        vx = x - camera_position_world[0]
+        vy = y - camera_position_world[1]
+        vz = z - camera_position_world[2]
+        vn = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+        cos = vz / jnp.maximum(vn, 1e-12)
+    else:
+        cos = z / jnp.maximum(rng, 1e-12)
+    o = score_floor + (1.0 - score_floor) * ((cos + 1.0) * 0.5)
+    diff = jnp.minimum(jnp.abs(rng - optimal_distance) / optimal_distance, 1.0)
+    d = score_floor + (1.0 - score_floor) * (1.0 - diff)
     return 0.5 * (o + d)
 
 

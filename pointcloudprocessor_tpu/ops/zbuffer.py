@@ -22,50 +22,41 @@ import jax.numpy as jnp
 from ..models import camera as cam
 
 
-def cull_mask(
+def cull_mask_uv(
     camera: cam.PinholeCamera,
-    points_camera: jnp.ndarray,
+    u: jnp.ndarray,  # (N,) pixel u of each point
+    v: jnp.ndarray,  # (N,) pixel v
+    z: jnp.ndarray,  # (N,) camera-frame depth
+    rng: jnp.ndarray,  # (N,) camera-frame range |p|
     valid: jnp.ndarray,
     downsample_factor: int = 14,
     depth_epsilon: float = 0.05,
     enable_depth_buffer: bool = True,
 ) -> jnp.ndarray:
-    """Visibility mask for camera-frame points.
+    """Visibility mask from precomputed per-point projections (hot path).
+
+    Taking u/v/z/rng as separate full-lane arrays (rather than (N, 2)/(N, 3)
+    stacks) lets callers share one projection pass between culling and color
+    sampling and avoids TPU lane-padding on tiny trailing axes.
 
     Stages (matching `view_culling.cpp:52-174` semantics):
       1. in-front gate  z > 0           (:76-80)
       2. in-image gate (projected px)   (:90-94)
       3. scatter-min range per downsampled cell; keep points whose range is
          within ``depth_epsilon`` of the cell minimum (:100-171).
-
-    Args:
-        camera: projection model (full-resolution intrinsics).
-        points_camera: (N, 3) points already in the camera frame.
-        valid: (N,) bool input validity.
-        downsample_factor: z-buffer cell size in pixels.
-        depth_epsilon: metres of slack behind the nearest return per cell.
-
-    Returns:
-        (N,) bool visibility mask (subset of ``valid``).
     """
     ds = int(downsample_factor)
     grid_w = camera.width // ds
     grid_h = camera.height // ds
 
-    z = points_camera[..., 2]
-    in_front = z > 0.0
-
-    pixels = cam.project(camera, points_camera)
-    in_img = cam.in_image(camera, pixels)
-    ok = valid & in_front & in_img
+    ok = valid & (z > 0.0) & cam.in_image_uv(camera, u, v)
 
     if not enable_depth_buffer:
         return ok
 
-    u = jnp.clip((pixels[..., 0] / ds).astype(jnp.int32), 0, grid_w - 1)
-    v = jnp.clip((pixels[..., 1] / ds).astype(jnp.int32), 0, grid_h - 1)
-    cell = v * grid_w + u
-    rng = jnp.linalg.norm(points_camera, axis=-1)
+    ui = jnp.clip((u / ds).astype(jnp.int32), 0, grid_w - 1)
+    vi = jnp.clip((v / ds).astype(jnp.int32), 0, grid_h - 1)
+    cell = vi * grid_w + ui
 
     big = jnp.asarray(jnp.finfo(rng.dtype).max, rng.dtype)
     rng_masked = jnp.where(ok, rng, big)
@@ -77,6 +68,35 @@ def cull_mask(
 
     cell_min = zmin[cell_masked]
     return ok & (rng <= cell_min + depth_epsilon)
+
+
+def cull_mask(
+    camera: cam.PinholeCamera,
+    points_camera: jnp.ndarray,
+    valid: jnp.ndarray,
+    downsample_factor: int = 14,
+    depth_epsilon: float = 0.05,
+    enable_depth_buffer: bool = True,
+) -> jnp.ndarray:
+    """Visibility mask for camera-frame points (see :func:`cull_mask_uv`).
+
+    Args:
+        camera: projection model (full-resolution intrinsics).
+        points_camera: (N, 3) points already in the camera frame.
+        valid: (N,) bool input validity.
+        downsample_factor: z-buffer cell size in pixels.
+        depth_epsilon: metres of slack behind the nearest return per cell.
+
+    Returns:
+        (N,) bool visibility mask (subset of ``valid``).
+    """
+    u, v = cam.project_uv(camera, points_camera)
+    x, y, z = (points_camera[..., i] for i in range(3))
+    rng = jnp.sqrt(x * x + y * y + z * z)
+    return cull_mask_uv(
+        camera, u, v, z, rng, valid, downsample_factor, depth_epsilon,
+        enable_depth_buffer,
+    )
 
 
 def cull_world_points(

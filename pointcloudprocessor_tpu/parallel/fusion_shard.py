@@ -87,7 +87,7 @@ def fuse_sharded(
                 downsample_factor=downsample_factor, depth_epsilon=depth_epsilon,
                 optimal_distance=optimal_distance, score_floor=score_floor,
             )
-            topk = fusion.update_topk(topk, obs.score, obs.rgb, obs.visible)
+            topk = fusion.update_topk(topk, obs.score, obs.rgb_packed, obs.visible)
             s = jnp.where(obs.visible, obs.score, -jnp.inf)
             better = s > best_s
             best_s = jnp.where(better, s, best_s)
@@ -99,14 +99,23 @@ def fuse_sharded(
         xs = (imgs, pq, pt_, cq, ct) + ((masks,) if with_masks else ())
         (topk, best_s, best_l, count), _ = jax.lax.scan(step, state0, xs)
 
-        # Merge registers across the keyframe shards (kf axis).
-        g_scores = jax.lax.all_gather(topk.scores, mesh_lib.KF_AXIS)  # (S, N_loc, K)
+        # Merge registers across the keyframe shards (kf axis): top-K of a
+        # union equals top-K of the concatenated per-shard top-Ks, and the
+        # replace-min tournament of update_topk computes it slot-row by
+        # slot-row in the lane-friendly (K, N) layout (S*K tiny inserts).
+        g_scores = jax.lax.all_gather(topk.scores, mesh_lib.KF_AXIS)  # (S, K, N_loc)
         g_rgb = jax.lax.all_gather(topk.rgb, mesh_lib.KF_AXIS)
-        s_flat = jnp.moveaxis(g_scores, 0, 1).reshape(n_loc, -1)  # (N_loc, S*K)
-        r_flat = jnp.moveaxis(g_rgb, 0, 1).reshape(n_loc, -1, 3)
-        best, idx = jax.lax.top_k(s_flat, top_k)
-        rgb_sel = jnp.take_along_axis(r_flat, idx[..., None], axis=1)
-        rgb, colored = fusion.blend_topk(fusion.TopKColors(best, rgb_sel))
+        s_flat = g_scores.reshape(-1, n_loc)  # (S*K, N_loc)
+        r_flat = g_rgb.reshape(-1, n_loc)
+
+        def insert(i, st):
+            row = s_flat[i]
+            return fusion.update_topk(st, row, r_flat[i], jnp.isfinite(row))
+
+        merged = jax.lax.fori_loop(
+            0, s_flat.shape[0], insert, fusion.init_topk(n_loc, top_k)
+        )
+        rgb, colored = fusion.blend_topk(merged)
 
         # Best-score label across shards.
         g_bs = jax.lax.all_gather(best_s, mesh_lib.KF_AXIS)  # (S, N_loc)

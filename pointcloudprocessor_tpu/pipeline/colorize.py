@@ -34,12 +34,14 @@ from ..ops import fusion, zbuffer
 
 class KeyframeObservation(NamedTuple):
     """Per-point observation of one keyframe (all (N,) / (N,.) aligned with
-    the input map cloud)."""
+    the input map cloud). Colors are 0xRRGGBB-packed int32 — unpack with
+    `fusion.unpack_rgb` at API boundaries; the packed form keeps the TPU
+    gather and top-K register traffic at one word per observation."""
 
     points_camera: jnp.ndarray  # (N, 3)
     pixels: jnp.ndarray  # (N, 2)
     visible: jnp.ndarray  # (N,) bool
-    rgb: jnp.ndarray  # (N, 3) float [0,255]
+    rgb_packed: jnp.ndarray  # (N,) int32 0xRRGGBB
     score: jnp.ndarray  # (N,) finalScore
     label: Optional[jnp.ndarray] = None  # (N,) int32 mask label
 
@@ -65,23 +67,40 @@ def observe_keyframe(
 
     Fuses the reference's transform -> cull -> generateColorMap -> score
     sequence (`PointCloudProcessor.cpp:495-591`) into one traced graph.
+    All per-point intermediates flow as separate 1D arrays (u, v, z, range)
+    — materialized (N, 2)/(N, 3) stacks waste the TPU lane dimension and
+    cost ~5x on this path.
     """
-    pts_cam = se3.transform_points(T_camera_world, points_world)
-    vis = zbuffer.cull_mask(
-        camera, pts_cam, valid, downsample_factor=downsample_factor, depth_epsilon=depth_epsilon
+    x, y, z = se3.transform_xyz(
+        T_camera_world,
+        points_world[..., 0],
+        points_world[..., 1],
+        points_world[..., 2],
     )
-    pixels = cam.project(camera, pts_cam)
-    # Sample the raw uint8 image, then HSV-adjust the samples: nearest
-    # sampling commutes with the per-pixel color map, and adjusting N points
-    # beats adjusting H*W pixels (12x fewer at the reference's 4096x3000 /
-    # 1M-point scale, and no float32 image materialization in HBM).
-    rgb = fusion.hsv_adjust(
-        fusion.sample_nearest(image_rgb, pixels).astype(jnp.float32),
-        saturation_scale,
-        brightness_scale,
+    rng = jnp.sqrt(x * x + y * y + z * z)
+    u, v = cam.project_xyz(camera, x, y, z)
+    vis = zbuffer.cull_mask_uv(
+        camera, u, v, z, rng, valid,
+        downsample_factor=downsample_factor, depth_epsilon=depth_epsilon,
     )
-    score = fusion.final_score(
-        pts_cam,
+
+    h, w = image_rgb.shape[0], image_rgb.shape[1]
+    ui = jnp.clip(u.astype(jnp.int32), 0, w - 1)
+    vi = jnp.clip(v.astype(jnp.int32), 0, h - 1)
+    flat = vi * w + ui
+    # Pack the image once (sequential-bandwidth), gather one int32 word per
+    # point, and HSV-adjust the samples: nearest sampling commutes with the
+    # per-pixel color map, and adjusting N points beats adjusting H*W pixels
+    # (12x fewer at the reference's 4096x3000 / 1M-point scale).
+    rgb_packed = fusion.pack_image_rgb(image_rgb)[flat]
+    if saturation_scale != 1.0 or brightness_scale != 1.0:
+        rgb_packed = fusion.pack_rgb(
+            fusion.hsv_adjust(
+                fusion.unpack_rgb(rgb_packed), saturation_scale, brightness_scale
+            )
+        )
+    score = fusion.final_score_xyz(
+        x, y, z, rng,
         camera_position_world,
         optimal_distance=optimal_distance,
         score_floor=score_floor,
@@ -89,8 +108,11 @@ def observe_keyframe(
     )
     label = None
     if mask_image is not None:
-        label = fusion.sample_nearest(mask_image, pixels).astype(jnp.int32)
-    return KeyframeObservation(pts_cam, pixels, vis, rgb, score, label)
+        label = mask_image.reshape(-1)[flat].astype(jnp.int32)
+    # API-boundary stacks; DCE'd when the caller (e.g. fuse) ignores them.
+    pixels = jnp.stack([u, v], axis=-1)
+    pts_cam = jnp.stack([x, y, z], axis=-1)
+    return KeyframeObservation(pts_cam, pixels, vis, rgb_packed, score, label)
 
 
 class FusionResult(NamedTuple):
@@ -179,7 +201,7 @@ def fuse(
             brightness_scale=brightness_scale,
             reference_compat_orientation=reference_compat_orientation,
         )
-        topk = fusion.update_topk(topk, obs.score, obs.rgb, obs.visible)
+        topk = fusion.update_topk(topk, obs.score, obs.rgb_packed, obs.visible)
         s = jnp.where(obs.visible, obs.score, -jnp.inf)
         better = s > best_s
         best_s = jnp.where(better, s, best_s)

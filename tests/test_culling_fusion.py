@@ -91,7 +91,7 @@ def test_observe_keyframe_samples_gradient():
     )
     vis = np.asarray(obs.visible)
     px = np.asarray(obs.pixels)[vis]
-    rgb = np.asarray(obs.rgb)[vis]
+    rgb = np.asarray(fusion.unpack_rgb(obs.rgb_packed))[vis]
     # R channel encodes u: r = u*255//(W-1)
     want_r = (px[:, 0].astype(int) * 255) // (c.width - 1)
     np.testing.assert_allclose(rgb[:, 0], want_r, atol=1.0)
