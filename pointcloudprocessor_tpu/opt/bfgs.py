@@ -62,8 +62,22 @@ def minimize(
             return ~accepted(alpha, new_val) & (it < max_backtracks)
 
         def body(state):
-            alpha, _, _, it = state
-            a = alpha * 0.5
+            alpha, rej_val, _, it = state
+            # Quadratic interpolation through f(0)=val, f'(0)=dg and the
+            # rejected probe f(alpha)=rej_val: the model minimizer is
+            # -dg a^2 / (2 (f(a) - f(0) - dg a)). Each rejected probe costs a
+            # full multi-keyframe NID evaluation, so landing near the valley
+            # in one interpolated step instead of blind halving saves whole
+            # objective evaluations (Nocedal & Wright 3.5). Clamped to
+            # [alpha/10, alpha/2] for safety; +inf probes (trust-region
+            # rejections) carry no curvature information — halve those.
+            denom = rej_val - val - dg * alpha
+            interp = -dg * alpha * alpha / (2.0 * jnp.where(denom > 0, denom, 1.0))
+            a = jnp.where(
+                jnp.isfinite(rej_val) & (denom > 0),
+                jnp.clip(interp, 0.1 * alpha, 0.5 * alpha),
+                alpha * 0.5,
+            )
             new_val, new_g = vg(x + a * direction)
             return (a, new_val, new_g, it + 1)
 
