@@ -162,11 +162,54 @@ def project_onto(surf: MLSSurface, pts: jnp.ndarray, owner: jnp.ndarray | None =
     return pos, n
 
 
-@functools.partial(jax.jit, static_argnames=("sqr_gauss_param", "polynomial_order"))
-def _fit_chunk(points, q, idx, ok, sqr_gauss_param, polynomial_order):
-    surf = fit_surfaces(points, q, idx, ok, sqr_gauss_param, polynomial_order)
-    pos, nrm = project_onto(surf, q)
-    return surf, pos, nrm
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "search_radius",
+        "max_neighbors",
+        "sqr_gauss_param",
+        "polynomial_order",
+        "bucket_capacity",
+        "table_size",
+        "chunk_size",
+    ),
+)
+def _mls_smooth_jit(
+    points,
+    valid,
+    *,
+    search_radius,
+    max_neighbors,
+    sqr_gauss_param,
+    polynomial_order,
+    bucket_capacity,
+    table_size,
+    chunk_size,
+):
+    """One-dispatch MLS pass: grid build + `lax.map` over query chunks, each
+    chunk doing neighbor query -> weighted fit -> projection. The chunking
+    bounds the (chunk, 27*B) candidate tensor in on-chip memory while XLA
+    pipelines the chunks — no eager per-chunk dispatch (seconds each over the
+    axon tunnel)."""
+    n = points.shape[0]
+    grid = knn.build(
+        points, valid, cell_size=search_radius,
+        table_size=table_size, bucket_capacity=bucket_capacity,
+    )
+    pad = (-n) % chunk_size
+    qc = jnp.pad(points, ((0, pad), (0, 0))).reshape(-1, chunk_size, 3)
+
+    def one(q):
+        idx, _, ok = knn.radius_neighbors(
+            grid, points, q, search_radius, max_neighbors
+        )
+        surf = fit_surfaces(points, q, idx, ok, sqr_gauss_param, polynomial_order)
+        pos, nrm = project_onto(surf, q)
+        return surf, pos, nrm
+
+    surf, pos, nrm = jax.lax.map(one, qc)
+    unpad = lambda a: a.reshape((-1,) + a.shape[2:])[:n]
+    return unpad(pos), unpad(nrm), jax.tree.map(unpad, surf)
 
 
 def mls_smooth(
@@ -179,34 +222,24 @@ def mls_smooth(
 
     Returns (positions (N,3), normals (N,3), ok (N,), surfaces). Points whose
     neighborhood is too small keep their position with ok=False (PCL drops
-    them from the output; callers AND `ok` into validity).
+    them from the output; callers AND `ok` into validity). The whole pass —
+    hash-grid build, neighbor queries, batched fits, projection — is a single
+    jitted dispatch (the TPU replacement for PCL MLS's 30-thread kd-tree walk,
+    `cloudSmooth.cpp:124-154`).
     """
     n = points.shape[0]
-    grid = knn.build(
-        points, valid, cell_size=cfg.search_radius,
-        table_size=max(2 * n, 1024), bucket_capacity=cfg.bucket_capacity,
+    pos, nrm, surf = _mls_smooth_jit(
+        points,
+        valid,
+        search_radius=float(cfg.search_radius),
+        max_neighbors=int(cfg.max_neighbors),
+        sqr_gauss_param=float(cfg.sqr_gauss_param),
+        polynomial_order=int(cfg.polynomial_order),
+        bucket_capacity=int(cfg.bucket_capacity),
+        table_size=max(2 * n, 1024),
+        chunk_size=min(chunk_size, max(2 * n, 1024)),
     )
-
-    pad = (-n) % chunk_size
-    qp = jnp.pad(points, ((0, pad), (0, 0)))
-    chunks_pos, chunks_nrm, chunks_ok, chunk_surfs = [], [], [], []
-    for start in range(0, n + pad, chunk_size):
-        q = jax.lax.dynamic_slice_in_dim(qp, start, chunk_size)
-        idx, _, ok = knn.radius_neighbors(
-            grid, points, q, cfg.search_radius, cfg.max_neighbors
-        )
-        surf, pos, nrm = _fit_chunk(
-            points, q, idx, ok, cfg.sqr_gauss_param, cfg.polynomial_order
-        )
-        chunks_pos.append(pos)
-        chunks_nrm.append(nrm)
-        chunks_ok.append(surf.ok)
-        chunk_surfs.append(surf)
-    pos = jnp.concatenate(chunks_pos)[:n]
-    nrm = jnp.concatenate(chunks_nrm)[:n]
-    ok = jnp.concatenate(chunks_ok)[:n] & valid
-    surf = jax.tree.map(lambda *a: jnp.concatenate(a)[:n], *chunk_surfs)
-    return pos, nrm, ok, surf
+    return pos, nrm, surf.ok & valid, surf
 
 
 # ---------------------------------------------------------------------------
