@@ -58,11 +58,38 @@ def _make_camera(cfg: PipelineConfig) -> cam.PinholeCamera:
     )
 
 
-def _camera_to_world(frames, idx) -> se3.SE3:
-    return se3.SE3(
+def _extrinsic_lidar_to_cam(cfg: PipelineConfig) -> Optional[se3.SE3]:
+    """T_camera<-lidar from config, or None when ``extrinsic.apply`` is off.
+
+    The reference's R_lidar2cam/t_lidar2cam (`PointCloudProcessor.cpp:51-54`)
+    are initialized but never used; behind the flag they enter the pose chain
+    as T_c2w = T_odom(lidar->world) ∘ inverse(T_camera<-lidar)."""
+    if not cfg.extrinsic.apply:
+        return None
+    R = jnp.asarray(cfg.extrinsic.rotation, jnp.float32)
+    t = jnp.asarray(cfg.extrinsic.translation, jnp.float32)
+    m = jnp.concatenate([R, t[:, None]], axis=1)
+    m = jnp.concatenate(
+        [m, jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32)], axis=0
+    )
+    return se3.from_matrix(m)
+
+
+def _frame_pose(frame, T_l2c: Optional[se3.SE3]) -> se3.SE3:
+    """Camera-to-world pose of one frame (odometry [∘ extrinsic chain])."""
+    T = se3.SE3(
+        q=se3.quat_normalize(jnp.asarray(frame.quat_wxyz, jnp.float32)),
+        t=jnp.asarray(frame.position, jnp.float32),
+    )
+    return T if T_l2c is None else se3.compose(T, se3.inverse(T_l2c))
+
+
+def _camera_to_world(frames, idx, T_l2c: Optional[se3.SE3] = None) -> se3.SE3:
+    base = se3.SE3(
         q=se3.quat_normalize(jnp.asarray(np.stack([frames[i].quat_wxyz for i in idx]), jnp.float32)),
         t=jnp.asarray(np.stack([frames[i].position for i in idx]), jnp.float32),
     )
+    return base if T_l2c is None else se3.compose(base, se3.inverse(T_l2c))
 
 
 def cull_keyframe_host(camera, map_cloud, T_c2w, cfg) -> np.ndarray:
@@ -91,22 +118,47 @@ def cull_keyframe_host(camera, map_cloud, T_c2w, cfg) -> np.ndarray:
     return np.flatnonzero(np.asarray(mask)), np.asarray(pts_cam)
 
 
-def build_nid_keyframes(camera, map_cloud, frames, kf_idx, cfg, save_dir: str = ""):
+def build_nid_keyframes(
+    camera,
+    map_cloud,
+    frames,
+    kf_idx,
+    cfg,
+    save_dir: str = "",
+    T_correction: Optional[se3.SE3] = None,
+):
     """Cull per keyframe and assemble the padded NIDKeyframe batch.
 
     Mirrors `viewCullingAndSaveFilteredPcds` (:178-224) + the data loading in
     `estimate_pose_bfgs` (:160-178), without the disk round-trip (optional
     dumps preserved when ``save_dir`` is set).
+
+    ``T_correction`` (scalar or batched (K,)) re-culls at the corrected pose
+    ``T_c2w ∘ T_correction`` (`PointCloudProcessor.cpp:507` composition) for
+    ``NIDConfig.recull_every_outer_iter``: the VISIBILITY mask updates, but
+    point coordinates stay in the raw keyframe camera frame so the refine's
+    correction composition is identical across outer iterations.
     """
     cap = cfg.culled_capacity
     pts_list, int_list, val_list, bin_list = [], [], [], []
     norm_cloud = cl.normalize_intensity(map_cloud)
-    for i in kf_idx:
-        T_c2w = se3.SE3(
-            q=se3.quat_normalize(jnp.asarray(frames[i].quat_wxyz, jnp.float32)),
-            t=jnp.asarray(frames[i].position, jnp.float32),
-        )
-        vis_idx, pts_cam = cull_keyframe_host(camera, norm_cloud, T_c2w, cfg)
+    T_l2c = _extrinsic_lidar_to_cam(cfg)
+    for j, i in enumerate(kf_idx):
+        T_c2w = _frame_pose(frames[i], T_l2c)
+        T_cull = T_c2w
+        if T_correction is not None:
+            corr = (
+                se3.SE3(T_correction.q[j], T_correction.t[j])
+                if T_correction.q.ndim == 2
+                else T_correction
+            )
+            T_cull = se3.compose(T_c2w, corr)
+        vis_idx, pts_cam = cull_keyframe_host(camera, norm_cloud, T_cull, cfg)
+        if T_correction is not None:
+            # Raw-frame coordinates for the selected (re-culled) indices.
+            pts_cam = np.asarray(
+                se3.transform_points(se3.inverse(T_c2w), norm_cloud.points)
+            )
         if len(vis_idx) > cap:
             vis_idx = vis_idx[np.linspace(0, len(vis_idx) - 1, cap).astype(np.int64)]
         p = np.zeros((cap, 3), np.float32)
@@ -251,19 +303,55 @@ def _process_stages(cfg, camera, filtered_dir, result, timings, metrics):
                 if cfg.nid.per_keyframe
                 else refine.refine_pose
             )
-            res = refine_fn(
-                camera,
-                kfs,
-                T_correction,
-                bins=cfg.nid.bins,
-                max_outer_iterations=cfg.nid.max_outer_iterations,
-                max_inner_iterations=cfg.nid.max_inner_iterations,
-                delta_trans_thresh=cfg.nid.delta_trans_thresh,
-                delta_rot_thresh=np.radians(cfg.nid.delta_rot_thresh_deg),
-                trust_region_trans=cfg.nid.trust_region_trans,
-                trust_region_rot=np.radians(cfg.nid.trust_region_rot_deg),
-            )
-            T_correction = res.T_camera_lidar
+
+            def run_refine(kfs_in, T0, outer_iters):
+                return refine_fn(
+                    camera,
+                    kfs_in,
+                    T0,
+                    bins=cfg.nid.bins,
+                    max_outer_iterations=outer_iters,
+                    max_inner_iterations=cfg.nid.max_inner_iterations,
+                    delta_trans_thresh=cfg.nid.delta_trans_thresh,
+                    delta_rot_thresh=np.radians(cfg.nid.delta_rot_thresh_deg),
+                    trust_region_trans=cfg.nid.trust_region_trans,
+                    trust_region_rot=np.radians(cfg.nid.trust_region_rot_deg),
+                )
+
+            if cfg.nid.recull_every_outer_iter:
+                # Host-level outer loop: one on-device outer iteration per
+                # pass, re-culling visibility at the corrected pose between
+                # passes (the improvement the reference forgoes — it reloads
+                # the same culled clouds, visual_camera_calibration.cpp:160-167).
+                res = None
+                for outer in range(cfg.nid.max_outer_iterations):
+                    if outer > 0:
+                        kfs = build_nid_keyframes(
+                            camera, map_cloud, frames, kf_idx, cfg,
+                            T_correction=T_correction,
+                        )
+                    res = run_refine(kfs, T_correction, 1)
+                    dt, dr = se3.delta_magnitudes(
+                        T_correction, res.T_camera_lidar
+                    )
+                    T_correction = res.T_camera_lidar
+                    converged = (np.asarray(dt) < cfg.nid.delta_trans_thresh) & (
+                        np.asarray(dr) < np.radians(cfg.nid.delta_rot_thresh_deg)
+                    )
+                    metrics.log(
+                        "nid_recull_outer", outer=outer + 1,
+                        max_dt=float(np.max(np.asarray(dt))),
+                        max_dr=float(np.max(np.asarray(dr))),
+                    )
+                    if bool(np.all(converged)):
+                        break
+                res = res._replace(
+                    outer_iterations=jnp.asarray(outer + 1, jnp.int32),
+                    converged=jnp.asarray(converged),
+                )
+            else:
+                res = run_refine(kfs, T_correction, cfg.nid.max_outer_iterations)
+                T_correction = res.T_camera_lidar
             result.nid_value = float(jnp.sum(res.nid))
             if cfg.nid.per_keyframe and cfg.nid.smooth_trajectory:
                 # Pose-graph MAP smoothing: fuse the independent per-keyframe
@@ -272,7 +360,7 @@ def _process_stages(cfg, camera, filtered_dir, result, timings, metrics):
                 # colorization branch keeps its single interface.
                 from ..opt import pose_graph
 
-                c2w = _camera_to_world(frames, kf_idx)
+                c2w = _camera_to_world(frames, kf_idx, _extrinsic_lidar_to_cam(cfg))
                 pg = pose_graph.smooth_refined_trajectory(
                     c2w,
                     T_correction,
@@ -345,7 +433,7 @@ def _process_stages(cfg, camera, filtered_dir, result, timings, metrics):
             except (FileNotFoundError, OSError):
                 loaded.append(np.zeros((cfg.camera.height, cfg.camera.width), np.int32))
         masks = jnp.asarray(np.stack(loaded))
-    poses = _camera_to_world(frames, kf_idx)
+    poses = _camera_to_world(frames, kf_idx, _extrinsic_lidar_to_cam(cfg))
     fused = colorize.fuse(
         camera,
         map_cloud.points,

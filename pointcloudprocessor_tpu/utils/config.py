@@ -43,7 +43,15 @@ class CameraConfig:
 
 @dataclass
 class ExtrinsicConfig:
-    """LiDAR -> camera mounting transform (`PointCloudProcessor.cpp:51-54`)."""
+    """LiDAR -> camera mounting transform (`PointCloudProcessor.cpp:51-54`).
+
+    The reference initializes R_lidar2cam/t_lidar2cam but never applies them
+    (the odometry is already interpolated into the camera timeline), so
+    ``apply`` defaults to False for behavior parity. With ``apply=True`` the
+    odometry poses are treated as LiDAR-body poses (T_world<-lidar) and every
+    camera pose becomes ``T_world<-camera = T_world<-lidar ∘
+    inverse(T_camera<-lidar)`` — the geometrically honest mounting chain the
+    reference's dead fields imply."""
 
     rotation: Sequence[Sequence[float]] = (
         (-0.99993085, -0.00561199, -0.0103344),
@@ -55,6 +63,7 @@ class ExtrinsicConfig:
         -0.04934294727365431,
         -0.0677501086411397,
     )
+    apply: bool = False
 
 
 @dataclass
@@ -117,8 +126,13 @@ class NIDConfig:
     # Trust region guard (visual_camera_calibration.cpp:102)
     trust_region_trans: float = 0.2
     trust_region_rot_deg: float = 2.0
-    recull_every_outer_iter: bool = False  # reference loads the same culled
-    # clouds every outer iter (visual_camera_calibration.cpp:160-167)
+    # Re-run occlusion culling at the corrected pose between outer
+    # iterations (runner-level host loop; visibility masks update, point
+    # coordinates stay in the raw keyframe camera frame so the correction
+    # composition is unchanged). The reference never re-culls — it reloads
+    # the same culled clouds every outer iter
+    # (visual_camera_calibration.cpp:160-167) — so default False.
+    recull_every_outer_iter: bool = False
     # Solve an independent correction per keyframe (the TPU-native
     # generalization of per-keyframe manual poses, FrameData.cpp:31-34)
     # instead of the reference's single shared correction.

@@ -156,6 +156,90 @@ def test_e2e_per_keyframe_refine_with_pose_graph(tmp_path):
     assert float(np.max(np.asarray(dr))) < 0.05
 
 
+def test_e2e_nid_refine_with_recull(tmp_path):
+    """NIDConfig.recull_every_outer_iter: host outer loop re-culls visibility
+    at the corrected pose between outer iterations (the improvement the
+    reference forgoes, visual_camera_calibration.cpp:160-167)."""
+    from pointcloudprocessor_tpu.core import se3
+    from pointcloudprocessor_tpu.pipeline import runner
+
+    write_dataset(tmp_path)
+    cfg = small_config(tmp_path, enable_nid_optimize=True)
+    cfg.nid.max_inner_iterations = 20
+    cfg.nid.max_outer_iterations = 3
+    cfg.nid.recull_every_outer_iter = True
+    res = runner.process(cfg)
+    assert np.isfinite(res.nid_value)
+    dt, dr = se3.delta_magnitudes(res.T_correction, se3.identity())
+    assert float(dt) < 0.05
+    assert float(dr) < 0.05
+    # The outer loop actually ran through the re-cull path.
+    lines = [json.loads(l) for l in open(str(tmp_path / "out" / "metrics.jsonl"))]
+    assert any(l["event"] == "nid_recull_outer" for l in lines)
+
+
+def test_extrinsic_pose_chain(tmp_path):
+    """ExtrinsicConfig.apply wires T_camera<-lidar into the pose chain:
+    T_c2w = T_odom ∘ inverse(T_lidar->camera)."""
+    import jax.numpy as jnp
+
+    from pointcloudprocessor_tpu.core import se3
+    from pointcloudprocessor_tpu.pipeline import runner
+    from pointcloudprocessor_tpu.utils.config import ExtrinsicConfig
+
+    cfg = small_config(tmp_path)
+    assert runner._extrinsic_lidar_to_cam(cfg) is None  # default: inert
+
+    # Known mounting transform: 90 deg yaw + offset.
+    R = ((0.0, -1.0, 0.0), (1.0, 0.0, 0.0), (0.0, 0.0, 1.0))
+    t = (0.1, -0.2, 0.3)
+    cfg.extrinsic = ExtrinsicConfig(rotation=R, translation=t, apply=True)
+    T_l2c = runner._extrinsic_lidar_to_cam(cfg)
+    np.testing.assert_allclose(
+        np.asarray(se3.matrix(T_l2c))[:3, :3], np.asarray(R), atol=1e-6
+    )
+
+    class F:
+        quat_wxyz = np.array([1.0, 0, 0, 0])
+        position = np.array([1.0, 2.0, 3.0])
+
+    got = runner._camera_to_world([F()], [0], T_l2c)
+    want = se3.compose(
+        se3.SE3(jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                jnp.asarray([1.0, 2.0, 3.0], jnp.float32)),
+        se3.inverse(T_l2c),
+    )
+    np.testing.assert_allclose(np.asarray(got.t)[0], np.asarray(want.t), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.q)[0], np.asarray(want.q), atol=1e-6)
+    # _frame_pose agrees with the batched helper.
+    one = runner._frame_pose(F(), T_l2c)
+    np.testing.assert_allclose(np.asarray(one.t), np.asarray(got.t)[0], atol=1e-6)
+
+
+def test_e2e_extrinsic_identity_matches_baseline(tmp_path):
+    """apply=True with an identity mounting transform reproduces the
+    default pipeline output exactly (the chain is wired, not a no-op)."""
+    from pointcloudprocessor_tpu.pipeline import runner
+    from pointcloudprocessor_tpu.utils.config import ExtrinsicConfig
+
+    write_dataset(tmp_path)
+    cfg = small_config(tmp_path)
+    res_base = runner.process(cfg)
+    base = pcd.read(res_base.colored_cloud_path)
+
+    cfg2 = small_config(tmp_path)
+    cfg2.output_path = str(tmp_path / "out2") + os.sep
+    cfg2.extrinsic = ExtrinsicConfig(
+        rotation=((1.0, 0, 0), (0, 1.0, 0), (0, 0, 1.0)),
+        translation=(0.0, 0.0, 0.0),
+        apply=True,
+    )
+    res_ext = runner.process(cfg2)
+    ext = pcd.read(res_ext.colored_cloud_path)
+    assert res_ext.num_colored_points == res_base.num_colored_points
+    np.testing.assert_allclose(ext.rgb, base.rgb, atol=0)
+
+
 def test_e2e_with_masks(tmp_path):
     from pointcloudprocessor_tpu.pipeline import runner
 
