@@ -20,9 +20,19 @@ from test_nid import intensity_field
 W, H, F = 128, 96, 120.0
 
 
-def write_dataset(root, with_masks=False, n_frames=3):
+def write_dataset(root, with_masks=False, n_frames=3, odom_offset=(0.0, 0.0, 0.0), field=intensity_field):
     """Map + odometry + images; image gray level = intensity field so NID has
-    signal. Cameras slide along +x looking +z at a wall at z=5."""
+    signal. Cameras slide along +x looking +z at a wall at z=5.
+
+    ``odom_offset`` plants a known odometry error: images are rendered at the
+    TRUE camera pose while the odometry line reports pose + offset. Since
+    camera-frame points computed from the reported pose satisfy
+    p_cam_reported = p_cam_true - offset (identity rotations), the NID
+    correction's ground truth is T_camera_lidar = translation(+offset).
+    ``field`` maps wall (x, y) in meters -> gray in [0, 1]; sharper fields
+    give a sharper NID basin (the default field's 2 m period leaves a broad
+    plateau — see CLAUDE.md).
+    """
     import cv2
 
     rng = np.random.default_rng(0)
@@ -35,19 +45,20 @@ def write_dataset(root, with_masks=False, n_frames=3):
     x = rng.uniform(-3.5, 4.0, n)
     y = rng.uniform(-2.5, 2.5, n)
     pts = np.stack([x, y, np.full(n, 5.0)], -1).astype(np.float32)
-    inten = np.clip(intensity_field(x, y), 0, 1).astype(np.float32)
+    inten = np.clip(field(x, y), 0, 1).astype(np.float32)
     pcd.write(str(root / "map.pcd"), pts, intensity=inten)
 
+    ox, oy, oz = odom_offset
     lines = []
     for i in range(n_frames):
         ts = 100.0 + 0.5 * i
         px = 0.15 * i
-        lines.append(f"{ts:.6f} {px:.8f} 0.0 0.0 1 0 0 0")
+        lines.append(f"{ts:.6f} {px + ox:.8f} {oy:.8f} {oz:.8f} 1 0 0 0")
         # Render the image this camera would see of the wall.
         uu, vv = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
         wx = (uu - W / 2) / F * 5.0 + px  # camera at x=px
         wy = (vv - H / 2) / F * 5.0
-        gray = np.clip(intensity_field(wx, wy), 0, 1)
+        gray = np.clip(field(wx, wy), 0, 1)
         img = (np.stack([gray] * 3, -1) * 255).astype(np.uint8)
         cv2.imwrite(str(root / "images" / f"{ts:.6f}.jpg"), img[:, :, ::-1])
         if with_masks:
