@@ -115,6 +115,61 @@ def observe_keyframe(
     return KeyframeObservation(pts_cam, pixels, vis, rgb_packed, score, label)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "downsample_factor",
+        "depth_epsilon",
+        "saturation_scale",
+        "brightness_scale",
+        "mask_highlight_value",
+    ),
+)
+def keyframe_rgb_mask(
+    camera: cam.PinholeCamera,
+    points_world: jnp.ndarray,  # (N, 3)
+    valid: jnp.ndarray,  # (N,)
+    image_rgb: jnp.ndarray,  # (H, W, 3) uint8
+    mask_image: jnp.ndarray,  # (H, W) int32
+    kf_pose: se3.SE3,  # camera->world
+    T_correction: se3.SE3,
+    *,
+    downsample_factor: int = 14,
+    depth_epsilon: float = 0.05,
+    saturation_scale: float = 1.0,
+    brightness_scale: float = 1.0,
+    mask_highlight_value: int = 255,
+):
+    """One keyframe's colored+mask-labelled view for artifact dumps.
+
+    Rebuilds `generateColorMap` + `generateSegmentMap`
+    (`PointCloudProcessor.cpp:705-816`) for the per-keyframe
+    ``<ts>_rgb-mask.pcd`` files written at :539-546: camera-frame points,
+    sampled rgb (label==255 points painted red, :806-811), mask label.
+    Returns ``(points_camera (N,3), rgb (N,3), label (N,), visible (N,))``
+    at full map capacity — the caller compacts with ``visible`` at the host
+    I/O boundary.
+    """
+    T_c2w = se3.compose(kf_pose, T_correction)
+    obs = observe_keyframe(
+        camera,
+        image_rgb,
+        se3.inverse(T_c2w),
+        points_world,
+        valid,
+        mask_image=mask_image,
+        camera_position_world=kf_pose.t,
+        downsample_factor=downsample_factor,
+        depth_epsilon=depth_epsilon,
+        saturation_scale=saturation_scale,
+        brightness_scale=brightness_scale,
+    )
+    rgb = fusion.unpack_rgb(obs.rgb_packed)
+    highlight = obs.label == mask_highlight_value
+    rgb = jnp.where(highlight[:, None], jnp.asarray([255.0, 0.0, 0.0]), rgb)
+    return obs.points_camera, rgb, obs.label, obs.visible
+
+
 class FusionResult(NamedTuple):
     rgb: jnp.ndarray  # (N, 3) blended color [0,255]
     colored: jnp.ndarray  # (N,) bool

@@ -478,17 +478,54 @@ def _process_stages(cfg, camera, filtered_dir, result, timings, metrics):
     if with_masks:
         from ..utils import colormap
 
-        mask_cloud = out_cloud._replace(mask_label=fused.best_label)
+        # Per-keyframe <ts>_rgb-mask.pcd dumps + world-frame accumulation
+        # (`PointCloudProcessor.cpp:539-550`): each keyframe's visible points
+        # with its own sampled colors and mask labels, written in the camera
+        # frame, then accumulated (concatenated, duplicates across keyframes)
+        # into cloudInWorldWithRGBandMask.pcd — the file the reference's
+        # two-arg saveColorizedPointCloud writes at :912-928. World
+        # coordinates are the original map points (the reference's
+        # cam->world round-trip recovers them up to f32 noise).
+        acc_pts, acc_rgb, acc_lab = [], [], []
+        map_pts_np = np.asarray(map_cloud.points)
+        for j, i in enumerate(kf_idx):
+            pts_cam, rgb_k, lab_k, vis_k = colorize.keyframe_rgb_mask(
+                camera,
+                map_cloud.points,
+                map_cloud.valid,
+                jnp.asarray(images[j]),
+                masks[j],
+                se3.SE3(poses.q[j], poses.t[j]),
+                (
+                    se3.SE3(T_correction.q[j], T_correction.t[j])
+                    if T_correction.q.ndim == 2
+                    else T_correction
+                ),
+                downsample_factor=cfg.culling.downsample_factor,
+                depth_epsilon=cfg.culling.depth_epsilon,
+                saturation_scale=cfg.fusion.saturation_scale,
+                brightness_scale=cfg.fusion.brightness_scale,
+                mask_highlight_value=cfg.fusion.mask_highlight_value,
+            )
+            sel = np.flatnonzero(np.asarray(vis_k))
+            pcd.write(
+                os.path.join(
+                    filtered_dir,
+                    f"{ingest.cpp_timestamp(frames[i].timestamp)}_rgb-mask.pcd",
+                ),
+                np.asarray(pts_cam)[sel],
+                rgb=np.asarray(rgb_k)[sel],
+                mask_label=np.asarray(lab_k)[sel],
+            )
+            acc_pts.append(map_pts_np[sel])
+            acc_rgb.append(np.asarray(rgb_k)[sel])
+            acc_lab.append(np.asarray(lab_k)[sel])
         mask_path = os.path.join(cfg.output_path, "cloudInWorldWithRGBandMask.pcd")
-        # Highlight labelled points in red, as generateSegmentMap does (:806-811).
-        highlight = fused.best_label == cfg.fusion.mask_highlight_value
-        rgb_hl = jnp.where(
-            highlight[:, None], jnp.asarray([255.0, 0.0, 0.0]), fused_rgb
-        )
-        pcd.write_cloud(
+        pcd.write(
             mask_path,
-            mask_cloud._replace(rgb=rgb_hl),
-            include=("rgb", "mask_label"),
+            np.concatenate(acc_pts) if acc_pts else np.zeros((0, 3), np.float32),
+            rgb=np.concatenate(acc_rgb) if acc_rgb else None,
+            mask_label=np.concatenate(acc_lab) if acc_lab else None,
         )
         result.mask_cloud_path = mask_path
         # Jet-colormapped label cloud (generateSegmentMapWithColor, :818-864).

@@ -270,6 +270,22 @@ def test_e2e_with_masks(tmp_path):
     red = out.rgb[labels == 255]
     assert (red[:, 0] == 255).all() and (red[:, 1] == 0).all()
     assert os.path.exists(str(tmp_path / "out" / "cloudInWorldWithMaskAndMappedColor.pcd"))
+    # Per-keyframe <ts>_rgb-mask.pcd dumps (PointCloudProcessor.cpp:539-546):
+    # one per keyframe, camera-frame, with projected labels following the
+    # left-half mask (left of the image center -> camera-frame x < 0).
+    dumps = sorted(
+        d for d in os.listdir(str(tmp_path / "out" / "filtered_pcd"))
+        if d.endswith("_rgb-mask.pcd")
+    )
+    assert len(dumps) == res.num_keyframes
+    kf = pcd.read(str(tmp_path / "out" / "filtered_pcd" / dumps[0]))
+    assert kf.mask_label is not None and len(kf.points) > 500
+    assert (kf.mask_label[kf.points[:, 0] < -0.3] == 255).mean() > 0.9
+    assert (kf.mask_label[kf.points[:, 0] > 0.3] == 0).mean() > 0.9
+    # The accumulated world cloud concatenates per-keyframe observations.
+    assert len(out.points) == sum(
+        len(pcd.read(str(tmp_path / "out" / "filtered_pcd" / d)).points) for d in dumps
+    )
 
 
 def test_cli_dump_config(capsys):
