@@ -123,6 +123,91 @@ def hpr_mask(
     return ok & (support - self_support <= tolerance)
 
 
+def _erode_parabolic_axis(m: jnp.ndarray, cell: jnp.ndarray, radius: float, window: int, axis: int):
+    """1D lower-envelope pass: m'[c] = min_{|k|<=window} m[c+k] + R*(k*cell)^2.
+
+    One axis of the separable parabolic min-convolution (du^2 + dv^2 splits
+    across axes); ``cell`` is the runtime angular cell size of this axis.
+    """
+    big = jnp.asarray(jnp.finfo(m.dtype).max, m.dtype)
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (window, window)
+    mp = jnp.pad(m, pad, constant_values=big)
+
+    def step(best, k):
+        sl = jax.lax.dynamic_slice_in_dim(mp, k, m.shape[axis], axis)
+        pen = radius * ((k - window).astype(m.dtype) * cell) ** 2
+        # big + pen overflows f32 to inf — harmless under min.
+        return jnp.minimum(best, sl + pen), None
+
+    best, _ = jax.lax.scan(step, jnp.full_like(m, big), jnp.arange(2 * window + 1))
+    return best
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius", "tolerance", "grid_size", "window")
+)
+def hpr_mask_grid(
+    points_camera: jnp.ndarray,
+    valid: jnp.ndarray,
+    radius: float = DEFAULT_RADIUS,
+    tolerance: float = 0.05,
+    grid_size: int = 512,
+    window: int = 16,
+) -> jnp.ndarray:
+    """O(N) visibility mask equivalent to :func:`hpr_mask` at scale.
+
+    The dense support test hides point i exactly when some j satisfies
+    ``(2R - r_j)·cosθ_ij > 2R - r_i + tol``; expanding ``cosθ ≈ 1 - θ²/2``
+    (the flip radius R = 9e4 makes the O(r·θ²) remainder sub-millimetre)
+    gives the *parabolic z-buffer* rule
+
+        hidden(i) ⇔ ∃j: r_j + R·θ_ij² < r_i − tol
+
+    which this kernel evaluates in O(N + G²·window) instead of O(N²):
+    scatter-min of ranges onto a G×G gnomonic grid (θ² ≈ |Δ(x/z, y/z)|²,
+    an overestimate off-axis — errs toward keeping points, like ``tol``),
+    a separable parabolic min-convolution (two 1D lower-envelope passes),
+    and one gather per point. At 262k points the dense path is ~0.4 TFLOP
+    per cull; this is ~5 MFLOP-equivalent.
+
+    Scope bound (documented, not silent): interactions are captured up to
+    θ ≤ window·cell, i.e. occluders can hide points at most
+    ``R·(window·cell)²`` metres behind them (cell = FoV/grid_size; ≈57 m
+    at FoV 0.8 rad with the defaults). Beyond that the kernel errs toward
+    visible — raise ``window`` (linear cost) for deeper scenes.
+    """
+    n = points_camera.shape[0]
+    dt = points_camera.dtype
+    big = jnp.asarray(jnp.finfo(dt).max, dt)
+    x, y, z = (points_camera[..., i] for i in range(3))
+    r = jnp.sqrt(x * x + y * y + z * z)
+    ok = valid & (z > 1e-9) & (r > 1e-9)
+
+    ax = jnp.where(ok, x / jnp.maximum(z, 1e-9), 0.0)
+    ay = jnp.where(ok, y / jnp.maximum(z, 1e-9), 0.0)
+    lo_x = jnp.min(jnp.where(ok, ax, jnp.inf))
+    hi_x = jnp.max(jnp.where(ok, ax, -jnp.inf))
+    lo_y = jnp.min(jnp.where(ok, ay, jnp.inf))
+    hi_y = jnp.max(jnp.where(ok, ay, -jnp.inf))
+    g = grid_size
+    cu = jnp.maximum((hi_x - lo_x) / g, 1e-9)
+    cv = jnp.maximum((hi_y - lo_y) / g, 1e-9)
+    iu = jnp.clip(((ax - lo_x) / cu).astype(jnp.int32), 0, g - 1)
+    iv = jnp.clip(((ay - lo_y) / cv).astype(jnp.int32), 0, g - 1)
+    cell = jnp.where(ok, iv * g + iu, g * g)  # sink cell for masked points
+
+    zmin = jnp.full((g * g + 1,), big, dt)
+    zmin = zmin.at[cell].min(jnp.where(ok, r, big), mode="drop")
+    m = zmin[: g * g].reshape(g, g)
+
+    m = _erode_parabolic_axis(m, cv, radius, window, axis=0)
+    m = _erode_parabolic_axis(m, cu, radius, window, axis=1)
+
+    eroded = m.reshape(-1)[jnp.minimum(cell, g * g - 1)]
+    return ok & ~(eroded < r - tolerance)
+
+
 def cull_world_points(
     camera,
     T_camera_world,
@@ -130,12 +215,17 @@ def cull_world_points(
     valid: jnp.ndarray,
     radius: float = DEFAULT_RADIUS,
     tolerance: float = 0.05,
+    impl: str = "auto",
+    dense_cutoff: int = 100_000,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Transform world points into the camera frame and HPR-cull, gated to
     the camera frustum first (`hidden_points_removal` pre-filters to the
     image bounds + FoV at view_culling.cpp:270-289 before flipping).
 
-    Returns (points_camera, visibility_mask).
+    ``impl``: "dense" = exact support matmul (O(N²) MXU work — ~0.4 TFLOP
+    per cull at 262k points), "grid" = parabolic-z-buffer approximation
+    (O(N), see :func:`hpr_mask_grid`), "auto" = grid above ``dense_cutoff``
+    points. Returns (points_camera, visibility_mask).
     """
     from ..core import se3
     from ..models import camera as cam
@@ -144,4 +234,7 @@ def cull_world_points(
     in_front = pts_cam[..., 2] > 0.0
     pixels = cam.project(camera, pts_cam)
     gate = valid & in_front & cam.in_image(camera, pixels)
-    return pts_cam, hpr_mask(pts_cam, gate, radius=radius, tolerance=tolerance)
+    if impl == "auto":
+        impl = "grid" if points_world.shape[0] > dense_cutoff else "dense"
+    fn = hpr_mask_grid if impl == "grid" else hpr_mask
+    return pts_cam, fn(pts_cam, gate, radius=radius, tolerance=tolerance)

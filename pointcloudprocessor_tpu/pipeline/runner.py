@@ -105,6 +105,8 @@ def cull_keyframe_host(camera, map_cloud, T_c2w, cfg) -> np.ndarray:
             map_cloud.valid,
             radius=cfg.culling.hidden_points_removal_max_z,
             tolerance=cfg.culling.hpr_tolerance,
+            impl=cfg.culling.hpr_impl,
+            dense_cutoff=cfg.culling.hpr_dense_cutoff,
         )
     else:
         pts_cam, mask = zbuffer.cull_world_points(

@@ -91,6 +91,11 @@ class CullingConfig:
     # HPR spherical-flip radius (view_culling.hpp:14) and support slack.
     hidden_points_removal_max_z: float = 90000.0
     hpr_tolerance: float = 0.05
+    # HPR kernel selection: "dense" O(N^2) support matmul, "grid" O(N)
+    # parabolic z-buffer (ops/hpr.py:hpr_mask_grid), "auto" = grid above
+    # hpr_dense_cutoff points.
+    hpr_impl: str = "auto"
+    hpr_dense_cutoff: int = 100_000
 
 
 @dataclass

@@ -75,6 +75,68 @@ def test_invalid_and_origin_points_stay_hidden():
     assert mask[2]
 
 
+def test_grid_matches_dense_on_occluder_scene():
+    """The O(N) parabolic-z-buffer kernel reproduces the dense support test:
+    same accept/reject on >=98% of points, and identical verdicts on the
+    unambiguous ones (front wall all visible; deep-shadow back-wall points
+    hidden by both)."""
+    pts = _two_walls(seed=5)
+    valid = jnp.ones(len(pts), bool)
+    dense = np.asarray(hpr.hpr_mask(jnp.asarray(pts), valid, block=512, chunk=1024))
+    grid = np.asarray(hpr.hpr_mask_grid(jnp.asarray(pts), valid))
+    assert grid[:2000].all(), "front wall must stay visible"
+    # Disagreements are confined to the shadow-boundary band (cell
+    # quantization of the parabolic penalty); direction of error is
+    # toward visible, like the dense path's own tolerance slack.
+    assert (grid == dense).mean() > 0.96, f"agreement {(grid == dense).mean():.3f}"
+    assert (grid & ~dense).sum() >= (~grid & dense).sum() - 5, "must err toward visible"
+
+
+def test_grid_visible_set_close_to_exact_hull():
+    pts = _two_walls(seed=7)
+    mask = np.asarray(hpr.hpr_mask_grid(jnp.asarray(pts), jnp.ones(len(pts), bool)))
+    exact = _exact_katz(pts)
+    false_pos = (mask & ~exact).sum()
+    assert false_pos <= 0.02 * max(mask.sum(), 1)
+    assert (exact[:2000] & ~mask[:2000]).sum() == 0
+
+
+def test_grid_invalid_and_origin_points_stay_hidden():
+    pts = np.array([[0, 0, 5.0], [0, 0, 0.0], [1, 0, 5.0], [0.5, 0.2, 5.0]], np.float32)
+    valid = np.array([False, True, True, True])
+    mask = np.asarray(hpr.hpr_mask_grid(jnp.asarray(pts), jnp.asarray(valid)))
+    assert not mask[0] and not mask[1]
+    assert mask[2] and mask[3]
+
+
+def test_cull_world_points_impl_selection():
+    """auto picks grid above the cutoff and dense below; both cull the
+    occluded wall."""
+    from pointcloudprocessor_tpu.core import se3
+    from pointcloudprocessor_tpu.models import camera as cam
+
+    camera = cam.PinholeCamera(
+        intrinsic=jnp.asarray([100.0, 100.0, 64.0, 48.0]),
+        distortion=jnp.zeros(5),
+        width=128,
+        height=96,
+    )
+    pts = _two_walls(seed=9, n1=1500, n2=1500)  # fits the f=100 frustum
+    T = se3.identity()
+    valid = jnp.ones(len(pts), bool)
+    _, m_dense = hpr.cull_world_points(camera, T, jnp.asarray(pts), valid, impl="dense")
+    _, m_grid = hpr.cull_world_points(camera, T, jnp.asarray(pts), valid, impl="grid")
+    _, m_auto = hpr.cull_world_points(
+        camera, T, jnp.asarray(pts), valid, impl="auto", dense_cutoff=100
+    )
+    m_dense, m_grid, m_auto = map(np.asarray, (m_dense, m_grid, m_auto))
+    assert (m_auto == m_grid).all()  # above cutoff -> grid
+    for m in (m_dense, m_grid):
+        n1 = 1500
+        assert m[:n1].sum() > 0.9 * n1
+        assert m[n1:].sum() < 0.6 * n1
+
+
 def test_cull_world_points_gates_to_frustum():
     from pointcloudprocessor_tpu.core import se3
     from pointcloudprocessor_tpu.models import camera as cam
