@@ -1,0 +1,95 @@
+"""Static-HTML pick tool (tools/pick_tool.py): generation + schema round-trip.
+
+Closes the reference's manual-initial-guess workflow headlessly
+(`initial_guess_manual.hpp:297-330`): the HTML embeds projected culled
+points; its Export writes the `pipeline/manual_guess.py` JSON schema. The
+round-trip test simulates the JS export from the embedded data and drives
+the estimation seam with it.
+"""
+
+import json
+import os
+import re
+
+import numpy as np
+
+from pointcloudprocessor_tpu.tools import pick_tool
+from test_pipeline_e2e import F, H, W, small_config, write_dataset
+
+
+def _run_pipeline(tmp_path):
+    from pointcloudprocessor_tpu.pipeline import runner
+
+    write_dataset(tmp_path)
+    cfg = small_config(tmp_path)
+    runner.process(cfg)
+    return cfg
+
+
+def _embedded_data(html_path):
+    html = open(html_path).read()
+    m = re.search(r"const DATA = (\{.*?\});\n", html, re.S)
+    assert m, "embedded DATA block missing"
+    return json.loads(m.group(1))
+
+
+def test_generate_and_roundtrip(tmp_path):
+    cfg = _run_pipeline(tmp_path)
+    out_html = str(tmp_path / "picks.html")
+    ts_list = pick_tool.generate(
+        os.path.join(cfg.output_path, "filtered_pcd"),
+        cfg.images_folder,
+        (F, F, W / 2, H / 2),
+        (0, 0, 0, 0, 0),
+        out_html,
+        max_points=500,
+    )
+    assert len(ts_list) == 3
+    data = _embedded_data(out_html)
+    assert set(data) == set(ts_list)
+    for ts, entry in data.items():
+        assert entry["image"].startswith("data:image/jpeg;base64,")
+        n = len(entry["u"])
+        assert 100 < n <= 500
+        assert all(len(entry[k]) == n for k in ("v", "x", "y", "z", "i"))
+        # Embedded projections are in-image and consistent with the pinhole
+        # model applied to the embedded camera-frame coordinates.
+        u = np.asarray(entry["u"])
+        x, z = np.asarray(entry["x"]), np.asarray(entry["z"])
+        # Embedded values are rounded to 3 decimals; u reconstructed from
+        # rounded x/z carries ~F/z * 5e-4 ~ 0.012 px of rounding noise.
+        np.testing.assert_allclose(u, F * x / z + W / 2, atol=0.05)
+        assert (u >= 0).all() and (u < W).all()
+
+    # Simulate the JS "Export JSON": pick 8 embedded points per keyframe,
+    # pixels = their projections (a perfect user), points = camera-frame xyz.
+    picks = {}
+    for ts, entry in data.items():
+        sel = np.linspace(0, len(entry["u"]) - 1, 8).astype(int)
+        picks[ts] = {
+            "pixels": [[entry["u"][i], entry["v"][i]] for i in sel],
+            "points": [[entry["x"][i], entry["y"][i], entry["z"][i]] for i in sel],
+        }
+    picks_path = tmp_path / "picks.json"
+    picks_path.write_text(json.dumps(picks))
+
+    # The estimation seam consumes the export directly and recovers ~identity
+    # (picks are exact projections of camera-frame points).
+    import jax.numpy as jnp
+
+    from pointcloudprocessor_tpu.core import se3
+    from pointcloudprocessor_tpu.models import camera as cam
+    from pointcloudprocessor_tpu.pipeline import ingest, manual_guess
+
+    camera = cam.create_camera("pinhole", (F, F, W / 2, H / 2), (0, 0, 0, 0, 0), W, H)
+    frames = ingest.load_frames(cfg.odometry_path, cfg.images_folder, "")
+    corr, have = manual_guess.estimate_keyframe_corrections(
+        camera, frames, list(range(3)), str(picks_path)
+    )
+    assert all(have)
+    for j in range(3):
+        T = se3.SE3(corr.q[j], corr.t[j])
+        dt = float(jnp.linalg.norm(T.t))
+        ang = float(se3.quat_angle(T.q))
+        assert dt < 0.02, f"kf {j}: translation {dt}"
+        assert np.degrees(ang) < 0.5, f"kf {j}: rotation {np.degrees(ang)}"
