@@ -284,6 +284,13 @@ def _process_stages(cfg, camera, filtered_dir, result, timings, metrics):
     kfs = build_nid_keyframes(camera, map_cloud, frames, kf_idx, cfg, save_dir=filtered_dir)
     timings["culling"] = time.perf_counter() - t0
 
+    from ..utils import profiling as prof
+
+    metrics.log(
+        "cost_estimate_nid",
+        **prof.nid_cost_estimate(cfg.culled_capacity, len(kf_idx), cfg.nid.bins),
+    )
+
     # 5. Optional NID pose refinement (applyNIDBasedPoseOptimization, :156-164).
     T_correction = se3.identity()
     corr_path = os.path.join(cfg.output_path, "nid_correction.json")
@@ -455,6 +462,13 @@ def _process_stages(cfg, camera, filtered_dir, result, timings, metrics):
         with_masks=with_masks,
     )
     timings["colorize_fuse"] = time.perf_counter() - t0
+    metrics.log(
+        "cost_estimate_colorize",
+        **prof.colorize_fuse_cost(
+            int(map_cloud.points.shape[0]), len(kf_idx),
+            cfg.camera.height, cfg.camera.width, cfg.fusion.top_k,
+        ),
+    )
 
     # 6b. Optional spatial color smoothing (smoothColorsWithLocalRegion,
     # :634-703).

@@ -43,9 +43,11 @@ def run_once(n_devices: int, k: int, n_points: int, width: int, height: int,
     )
     f_px, wall_z = width / 2.0, 5.0
 
+    # Key passed as an ARGUMENT: a zero-arg jit is fully constant-folded by
+    # the (remote, single-threaded) compiler on TPU backends — see CLAUDE.md.
     @jax.jit
-    def make():
-        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    def make(key):
+        k1, k2 = jax.random.split(key)
         u = jax.random.uniform(k1, (n_points,), jnp.float32, 2.0, width - 2.0)
         v = jax.random.uniform(k2, (n_points,), jnp.float32, 2.0, height - 2.0)
         x = (u - width / 2.0) / f_px * wall_z
@@ -57,7 +59,7 @@ def run_once(n_devices: int, k: int, n_points: int, width: int, height: int,
         gray = jnp.clip(0.5 + 0.25 * jnp.sin(7 * uu[None]) + 0.25 * jnp.cos(9 * vv[:, None]), 0, 1)
         return pts, inten, gray
 
-    pts, inten, gray = jax.block_until_ready(make())
+    pts, inten, gray = jax.block_until_ready(make(jax.random.PRNGKey(0)))
     bin_img = nid.quantize_image(gray, 16)
     images = jnp.broadcast_to((gray[..., None] * 255).astype(jnp.uint8), (k, height, width, 3))
 
