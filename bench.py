@@ -2,7 +2,7 @@
 
 Prints ONE JSON line:
   {"metric": "colorize_refine_frames_per_s", "value": F, "unit": "frames/s",
-   "vs_baseline": F / F_cpu}
+   "vs_baseline": F / F_cpu, ...extra stage metrics...}
 
 Workload (per BASELINE.json config 3/4): K keyframes at the reference's
 image scale (4096x3000, `PointCloudProcessor.cpp:206`), a 1M-point map,
@@ -12,34 +12,49 @@ BFGS refine. The baseline divisor is a single-threaded NumPy transliteration
 of the same math (the reference is CPU-only; it publishes no numbers —
 BASELINE.md), measured on a subsample and scaled linearly in point count.
 
+The scene is adversarial, not friendly (VERDICT r1 §weak-3): a textured
+background wall at z=6 plus a foreground occluder slab at z=2.5, cameras
+translating AND yawing (so every keyframe sees a different image and a
+different culled set), ray-cast per-keyframe images, and occlusion-aware
+per-keyframe culled sets — the z-buffer and top-K fusion do real work.
+
+Timed loops run TWICE (axon-tunnel noise — CLAUDE.md); both runs are
+reported, the JSON value is the second (warm) run.
+
+Extra stage metrics in the same JSON line:
+  mls_mpts_per_s  — full MLS pass (grid build + neighbors + fits +
+                    projection, ops/mls.py) at 1M points, millions of
+                    points/s (the reference's hottest stage,
+                    `cloudSmooth.cpp:124-154`).
+  hpr_grid_ms     — O(N) grid HPR cull (ops/hpr.py:hpr_mask_grid) at the
+                    per-keyframe culled-capacity scale.
+
 Usage: python bench.py [--quick]
 """
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+# Scene geometry (metres). Wall at z=6 textured with FIELD_WALL; occluder
+# slab at z=2.5 covering part of the right half of the view.
+WALL_Z = 6.0
+OCC_Z = 2.5
+OCC_X = (0.3, 1.5)
+OCC_Y = (-0.6, 0.6)
+F_PX = 4818.2
 
-def build_scene(width, height, n_map, n_cull, k, f=4818.2):
-    rng = np.random.default_rng(0)
-    cx, cy = width / 2.0, height / 2.0
-    wall_z = 5.0
-    u = rng.uniform(2, width - 2, n_map).astype(np.float32)
-    v = rng.uniform(2, height - 2, n_map).astype(np.float32)
-    pts = np.stack([(u - cx) / f * wall_z, (v - cy) / f * wall_z, np.full_like(u, wall_z)], -1)
-    inten = np.clip(0.5 + 0.25 * np.sin(7 * pts[:, 0]) + 0.25 * np.cos(9 * pts[:, 1]), 0, 1).astype(np.float32)
 
-    uu, vv = np.meshgrid(np.arange(width, dtype=np.float32), np.arange(height, dtype=np.float32))
-    wx = (uu - cx) / f * wall_z
-    wy = (vv - cy) / f * wall_z
-    gray = np.clip(0.5 + 0.25 * np.sin(7 * wx) + 0.25 * np.cos(9 * wy), 0, 1).astype(np.float32)
-    rgbs = (np.stack([gray] * 3, -1) * 255).astype(np.uint8)
+def _field_wall(mod, x, y):
+    return mod.clip(0.5 + 0.25 * mod.sin(7.0 * x) + 0.25 * mod.cos(9.0 * y), 0.0, 1.0)
 
-    cull_idx = rng.choice(n_map, size=n_cull, replace=False)
-    return pts, inten, gray, rgbs, cull_idx
+
+def _field_occ(mod, x, y):
+    return mod.clip(0.5 + 0.25 * mod.sin(13.0 * x + 1.0) + 0.25 * mod.cos(11.0 * y + 2.0), 0.0, 1.0)
 
 
 def bench_tpu(width, height, n_map, n_cull, k, inner_iters, outer_iters):
@@ -51,46 +66,112 @@ def bench_tpu(width, height, n_map, n_cull, k, inner_iters, outer_iters):
     from pointcloudprocessor_tpu.opt import nid, refine
     from pointcloudprocessor_tpu.pipeline import colorize
 
+    f_px = F_PX * (width / 4096.0)  # --quick shrinks the image at constant FoV
     camera = cam.PinholeCamera(
-        intrinsic=jnp.asarray([4818.2, 4819.1, width / 2.0, height / 2.0], jnp.float32),
-        distortion=jnp.asarray([0.003, 0.066, -0.0002, -0.0006, 0.0], jnp.float32),
+        intrinsic=jnp.asarray([f_px, f_px, width / 2.0, height / 2.0], jnp.float32),
+        distortion=jnp.zeros(5, jnp.float32),
         width=width,
         height=height,
     )
 
-    # Scene is synthesized ON DEVICE: at the full scale the images alone are
+    # Keyframe trajectory: translate along +x, yaw about y (distinct poses).
+    kf_x = 0.12 * np.arange(k, dtype=np.float32)
+    yaw = np.radians(np.linspace(-4.0, 4.0, k)).astype(np.float32)
+    quats = np.stack(
+        [np.cos(yaw / 2), np.zeros_like(yaw), np.sin(yaw / 2), np.zeros_like(yaw)], -1
+    )
+    positions = np.stack([kf_x, np.zeros_like(kf_x), np.zeros_like(kf_x)], -1)
+    poses = se3.SE3(q=jnp.asarray(quats), t=jnp.asarray(positions))
+
+    # Scene is synthesized ON DEVICE: at full scale the images alone are
     # ~300 MB, and shipping them through the host tunnel dwarfs the compute
-    # being measured.
-    f_px, wall_z = 4818.2, 5.0
-
-    def field(x, y):
-        return jnp.clip(0.5 + 0.25 * jnp.sin(7 * x) + 0.25 * jnp.cos(9 * y), 0.0, 1.0)
-
+    # being measured. Poses MUST be jit ARGUMENTS: closed over, they are
+    # compile-time constants and XLA constant-folds the whole 12M-pixel
+    # render + culls on the compile host (single-threaded, ~8 min over the
+    # axon tunnel); as arguments the graph compiles in seconds.
     @jax.jit
-    def make_scene():
+    def make_scene(poses_q, poses_t):
         key = jax.random.PRNGKey(0)
-        k1, k2, k3 = jax.random.split(key, 3)
-        u = jax.random.uniform(k1, (n_map,), jnp.float32, 2.0, width - 2.0)
-        v = jax.random.uniform(k2, (n_map,), jnp.float32, 2.0, height - 2.0)
-        x = (u - width / 2.0) / f_px * wall_z
-        y = (v - height / 2.0) / f_px * wall_z
-        points = jnp.stack([x, y, jnp.full_like(x, wall_z)], -1)
-        inten = field(x, y)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        n_occ = n_map // 8
+        n_wall = n_map - n_occ
+        # Wall spans the union of all keyframe frusta (plus margin).
+        half_x = (width / 2.0) / f_px * WALL_Z
+        half_y = (height / 2.0) / f_px * WALL_Z
+        wx = jax.random.uniform(k1, (n_wall,), jnp.float32, -half_x - 0.6, half_x + 1.6)
+        wy = jax.random.uniform(k2, (n_wall,), jnp.float32, -half_y - 0.2, half_y + 0.2)
+        ox = jax.random.uniform(k3, (n_occ,), jnp.float32, OCC_X[0], OCC_X[1])
+        oy = jax.random.uniform(k4, (n_occ,), jnp.float32, OCC_Y[0], OCC_Y[1])
+        points = jnp.concatenate(
+            [
+                jnp.stack([wx, wy, jnp.full_like(wx, WALL_Z)], -1),
+                jnp.stack([ox, oy, jnp.full_like(ox, OCC_Z)], -1),
+            ]
+        )
+        inten = jnp.concatenate(
+            [_field_wall(jnp, wx, wy), _field_occ(jnp, ox, oy)]
+        )
 
-        uu = (jnp.arange(width, dtype=jnp.float32) - width / 2.0) / f_px * wall_z
-        vv = (jnp.arange(height, dtype=jnp.float32) - height / 2.0) / f_px * wall_z
-        gray = field(uu[None, :], vv[:, None])
-        rgb = (gray[..., None] * 255.0).astype(jnp.uint8)
-        images = jnp.broadcast_to(rgb, (k, height, width, 3))
+        # Ray-cast each keyframe's image off the two-plane scene.
+        uu = (jnp.arange(width, dtype=jnp.float32) - width / 2.0) / f_px
+        vv = (jnp.arange(height, dtype=jnp.float32) - height / 2.0) / f_px
 
-        cull = jax.random.permutation(k3, n_map)[:n_cull]
-        kf_pts = jnp.broadcast_to(points[cull], (k, n_cull, 3))
-        kf_int = jnp.broadcast_to(inten[cull], (k, n_cull))
-        bin_img = nid.quantize_image(gray, 16)
-        bin_imgs = jnp.broadcast_to(bin_img, (k, height, width))
+        def render(inputs):
+            q, t = inputs
+            R = se3.quat_to_matrix(q)
+            # Pixel ray directions in world frame.
+            dx = uu[None, :] * R[0, 0] + vv[:, None] * R[0, 1] + R[0, 2]
+            dy = uu[None, :] * R[1, 0] + vv[:, None] * R[1, 1] + R[1, 2]
+            dz = uu[None, :] * R[2, 0] + vv[:, None] * R[2, 1] + R[2, 2]
+            s_occ = (OCC_Z - t[2]) / dz
+            hx, hy = t[0] + s_occ * dx, t[1] + s_occ * dy
+            hit_occ = (
+                (hx >= OCC_X[0]) & (hx <= OCC_X[1]) & (hy >= OCC_Y[0]) & (hy <= OCC_Y[1])
+            )
+            s_wall = (WALL_Z - t[2]) / dz
+            gx, gy = t[0] + s_wall * dx, t[1] + s_wall * dy
+            gray = jnp.where(
+                hit_occ, _field_occ(jnp, hx, hy), _field_wall(jnp, gx, gy)
+            )
+            return (gray[..., None] * 255.0).astype(jnp.uint8)
+
+        grays = jax.lax.map(render, (poses_q, poses_t))  # (K, H, W, 1)
+        images = jnp.broadcast_to(grays, (k, height, width, 3))
+
+        # Occlusion-aware per-keyframe culled sets (distinct per keyframe).
+        def cull_one(inputs):
+            q, t, kf_i = inputs
+            R = se3.quat_to_matrix(q)
+            rel = points - t[None, :]
+            pc = rel @ R  # R^T applied to rows
+            u = f_px * pc[:, 0] / pc[:, 2] + width / 2.0
+            v = f_px * pc[:, 1] / pc[:, 2] + height / 2.0
+            inb = (pc[:, 2] > 0) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+            s = (OCC_Z - t[2]) / (points[:, 2] - t[2])
+            cx_ = t[0] + s * (points[:, 0] - t[0])
+            cy_ = t[1] + s * (points[:, 1] - t[1])
+            shadowed = (
+                (points[:, 2] > OCC_Z + 0.1)
+                & (cx_ >= OCC_X[0]) & (cx_ <= OCC_X[1])
+                & (cy_ >= OCC_Y[0]) & (cy_ <= OCC_Y[1])
+            )
+            visible = inb & ~shadowed
+            rank = jax.random.uniform(jax.random.PRNGKey(kf_i), (n_map,)) + visible
+            # Full argsort, NOT lax.top_k: top_k at k=262144 of 1M lowers to
+            # an O(N*k)-ish selection that stalls for minutes on TPU.
+            sel = jnp.argsort(-rank)[:n_cull]
+            return pc[sel], inten[sel]
+
+        kf_pts, kf_int = jax.lax.map(
+            cull_one, (poses_q, poses_t, jnp.arange(k, dtype=jnp.uint32))
+        )
+        bin_imgs = jax.vmap(lambda g: nid.quantize_image(g[..., 0] / 255.0, 16))(
+            grays.astype(jnp.float32)
+        )
         return points, inten, images, kf_pts, kf_int, bin_imgs
 
-    points, inten, images, kf_pts, kf_int, bin_imgs = jax.block_until_ready(make_scene())
+    out = jax.block_until_ready(make_scene(poses.q, poses.t))
+    points, inten, images, kf_pts, kf_int, bin_imgs = out
     print("# scene built on device", file=sys.stderr)
     valid = jnp.ones((n_map,), bool)
     kfs = nid.NIDKeyframe(
@@ -98,10 +179,6 @@ def bench_tpu(width, height, n_map, n_cull, k, inner_iters, outer_iters):
         intensity=kf_int,
         valid=jnp.ones((k, n_cull), bool),
         bin_image=bin_imgs,
-    )
-    poses = se3.SE3(
-        q=jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], jnp.float32), (k, 1)),
-        t=jnp.zeros((k, 3), jnp.float32),
     )
     T0 = se3.exp(jnp.asarray([0.02, -0.01, 0.01, 0.004, -0.002, 0.004], jnp.float32))
 
@@ -117,7 +194,7 @@ def bench_tpu(width, height, n_map, n_cull, k, inner_iters, outer_iters):
             max_outer_iterations=outer_iters,
         )
 
-    # Warm-up (compile), then time.
+    # Warm-up (compile), then time TWICE (tunnel noise).
     r = refine_step()
     r.T_camera_lidar.t.block_until_ready()
     print("# refine compiled", file=sys.stderr)
@@ -125,18 +202,88 @@ def bench_tpu(width, height, n_map, n_cull, k, inner_iters, outer_iters):
     fz.rgb.block_until_ready()
     print("# colorize compiled", file=sys.stderr)
 
-    t0 = time.perf_counter()
-    r = refine_step()
-    r.T_camera_lidar.t.block_until_ready()
-    t_refine = time.perf_counter() - t0
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        r = refine_step()
+        r.T_camera_lidar.t.block_until_ready()
+        t_refine = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fz = colorize_step(r.T_camera_lidar)
+        fz.rgb.block_until_ready()
+        t_colorize = time.perf_counter() - t0
+        runs.append((k / (t_refine + t_colorize), t_refine, t_colorize))
+    return runs, float(r.nid), int(fz.colored.sum())
 
-    t0 = time.perf_counter()
-    fz = colorize_step(r.T_camera_lidar)
-    fz.rgb.block_until_ready()
-    t_colorize = time.perf_counter() - t0
 
-    fps = k / (t_refine + t_colorize)
-    return fps, t_refine, t_colorize, float(r.nid), int(fz.colored.sum())
+def bench_mls(n_points):
+    """Full MLS pass (ops/mls.py) at ``n_points`` on the current backend.
+
+    The reference's dominant wall-clock stage (`cloudSmooth.cpp:124-154`,
+    PCL MLS with 30 threads). Returns two timed runs in points/s.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pointcloudprocessor_tpu.ops import mls
+    from pointcloudprocessor_tpu.utils.config import MLSConfig
+
+    key = jax.random.PRNGKey(1)
+    k1, k2, k3 = jax.random.split(key, 3)
+    # Wall patch with realistic LiDAR-map density (~30k pts/m^2 at 1M) and
+    # 5 mm surface noise for the fits to smooth.
+    side = float(np.sqrt(n_points / 30000.0))
+    x = jax.random.uniform(k1, (n_points,), jnp.float32, 0.0, side)
+    y = jax.random.uniform(k2, (n_points,), jnp.float32, 0.0, side)
+    z = 6.0 + 0.005 * jax.random.normal(k3, (n_points,))
+    pts = jax.block_until_ready(jnp.stack([x, y, z], -1))
+    valid = jnp.ones((n_points,), bool)
+    cfg = MLSConfig()  # reference params: radius 0.03, sqr_gauss 0.0009
+
+    pos, nrm, ok, _ = mls.mls_smooth(pts, valid, cfg)
+    pos.block_until_ready()
+    print("# mls compiled", file=sys.stderr)
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        pos, nrm, ok, _ = mls.mls_smooth(pts, valid, cfg)
+        pos.block_until_ready()
+        runs.append(n_points / (time.perf_counter() - t0))
+    return runs
+
+
+def bench_hpr(n_points):
+    """Grid HPR cull (ops/hpr.py:hpr_mask_grid) on a two-wall occluder scene
+    at per-keyframe culled scale. Returns two timed runs in milliseconds."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointcloudprocessor_tpu.ops import hpr
+
+    key = jax.random.PRNGKey(2)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    n1 = n_points // 2
+    w1 = jnp.stack(
+        [jax.random.uniform(k1, (n1,), jnp.float32, -2, 2),
+         jax.random.uniform(k2, (n1,), jnp.float32, -1.5, 1.5),
+         jnp.full((n1,), 5.0)], -1)
+    w2 = jnp.stack(
+        [jax.random.uniform(k3, (n_points - n1,), jnp.float32, -2, 2),
+         jax.random.uniform(k4, (n_points - n1,), jnp.float32, -1.5, 1.5),
+         jnp.full((n_points - n1,), 10.0)], -1)
+    pts = jax.block_until_ready(jnp.concatenate([w1, w2]))
+    valid = jnp.ones((n_points,), bool)
+
+    m = hpr.hpr_mask_grid(pts, valid)
+    m.block_until_ready()
+    print("# hpr compiled", file=sys.stderr)
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        m = hpr.hpr_mask_grid(pts, valid)
+        m.block_until_ready()
+        runs.append((time.perf_counter() - t0) * 1e3)
+    return runs, int(np.asarray(m).sum())
 
 
 def bench_cpu_reference(width, height, n_cull_sample, inner_iters, outer_iters, n_cull, n_map, k):
@@ -145,11 +292,16 @@ def bench_cpu_reference(width, height, n_cull_sample, inner_iters, outer_iters, 
     projection + sample for colorization), timed on a subsample and scaled
     linearly in point count. Gradient evaluations are charged at 2x forward
     (reverse-mode lower bound; Ceres Jets<7> cost more)."""
-    pts, inten, gray, rgb, cull_idx = build_scene(width, height, n_cull_sample * 2, n_cull_sample, 1)
-    sub = pts[cull_idx]
-    sub_i = inten[cull_idx]
-    fx = fy = 4818.2
+    rng = np.random.default_rng(0)
     cx, cy = width / 2.0, height / 2.0
+    fx = fy = F_PX
+    u = rng.uniform(2, width - 2, n_cull_sample).astype(np.float64)
+    v = rng.uniform(2, height - 2, n_cull_sample).astype(np.float64)
+    sub = np.stack([(u - cx) / fx * WALL_Z, (v - cy) / fy * WALL_Z, np.full_like(u, WALL_Z)], -1)
+    sub_i = _field_wall(np, sub[:, 0], sub[:, 1])
+    uu, vv = np.meshgrid(np.arange(width, dtype=np.float32), np.arange(height, dtype=np.float32))
+    gray = _field_wall(np, (uu - cx) / fx * WALL_Z, (vv - cy) / fy * WALL_Z).astype(np.float32)
+    rgb = (np.stack([gray] * 3, -1) * 255).astype(np.uint8)
     bins = 16
     spline = np.array(
         [[1, -3, 3, -1], [4, 0, -6, 3], [1, 3, 3, -3], [0, 0, 0, 1]], np.float64
@@ -222,31 +374,56 @@ def main():
     ap.add_argument("--quick", action="store_true", help="small shapes (smoke test)")
     args = ap.parse_args()
 
+    # Persistent compilation cache: the full-scale NID refine (3-level nested
+    # while_loop) takes ~20 min to compile over the axon tunnel; cached
+    # executables bring a repeat bench run to minutes. Safe no-op on backends
+    # that don't support executable serialization.
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception as e:  # pragma: no cover
+        print(f"# compilation cache unavailable: {e}", file=sys.stderr)
+
     if args.quick:
         width, height, n_map, n_cull, k = 512, 384, 100_000, 32_768, 4
+        n_mls, n_hpr = 100_000, 32_768
     else:
         width, height, n_map, n_cull, k = 4096, 3000, 1_000_000, 262_144, 8
+        n_mls, n_hpr = 1_000_000, 262_144
     inner_iters, outer_iters = 10, 2
 
-    fps, t_ref, t_col, nid_val, colored = bench_tpu(
+    runs, nid_val, colored = bench_tpu(
         width, height, n_map, n_cull, k, inner_iters, outer_iters
     )
+    (fps1, tr1, tc1), (fps2, t_ref, t_col) = runs
+    mls_runs = bench_mls(n_mls)
+    hpr_runs, hpr_visible = bench_hpr(n_hpr)
     cpu_fps = bench_cpu_reference(
         width, height, 20_000 if not args.quick else 5_000, inner_iters, outer_iters, n_cull, n_map, k
     )
 
     print(
-        f"# tpu: {fps:.2f} frames/s (refine {t_ref:.3f}s, colorize {t_col:.3f}s, "
-        f"nid {nid_val:.4f}, colored {colored}) | cpu-ref: {cpu_fps:.3f} frames/s",
+        f"# tpu run1: {fps1:.2f} frames/s (refine {tr1:.3f}s colorize {tc1:.3f}s) | "
+        f"run2: {fps2:.2f} frames/s (refine {t_ref:.3f}s colorize {t_col:.3f}s) | "
+        f"nid {nid_val:.4f} colored {colored} | "
+        f"mls {mls_runs[0] / 1e6:.2f}/{mls_runs[1] / 1e6:.2f} Mpts/s | "
+        f"hpr {hpr_runs[0]:.1f}/{hpr_runs[1]:.1f} ms (visible {hpr_visible}) | "
+        f"cpu-ref {cpu_fps:.3f} frames/s",
         file=sys.stderr,
     )
     print(
         json.dumps(
             {
                 "metric": "colorize_refine_frames_per_s",
-                "value": round(fps, 3),
+                "value": round(fps2, 3),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / cpu_fps, 2),
+                "vs_baseline": round(fps2 / cpu_fps, 2),
+                "run1_frames_per_s": round(fps1, 3),
+                "mls_mpts_per_s": round(mls_runs[1] / 1e6, 3),
+                "hpr_grid_ms": round(hpr_runs[1], 2),
             }
         )
     )
