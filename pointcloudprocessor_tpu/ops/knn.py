@@ -32,12 +32,20 @@ class HashGrid(NamedTuple):
     counts: (T,) int32 occupancy (may exceed B; slots beyond B dropped).
     cell_size: float used for bucketing.
     table_size: static int.
+    bucket_points: optional (T, 3*B) point COORDINATES in bucket layout,
+        rows laid out [x_0..x_B-1, y_0.., z_0..] (+inf in empty slots).
+        Costs T*B*12 bytes but turns the candidate fetch from per-point
+        scalar gathers into contiguous ROW gathers — the scalar-gather form
+        was 6.4 s of a 10 s MLS pass at 1M points on a v5e chip. The long
+        axis stays minor (96 lanes/row): a (B, 3) slice layout gathers 9x
+        slower because the 3-wide minor dim pads into (8, 128) tiles.
     """
 
     buckets: jnp.ndarray
     counts: jnp.ndarray
     cell_size: float
     table_size: int
+    bucket_points: jnp.ndarray | None = None
 
 
 def build(
@@ -46,6 +54,7 @@ def build(
     cell_size: float,
     table_size: int,
     bucket_capacity: int = 32,
+    store_points: bool = False,
 ) -> HashGrid:
     """Build the hash grid with a sort (no atomics):
 
@@ -53,6 +62,9 @@ def build(
     2. sort point indices by hash,
     3. within-bucket rank = position - first position of the hash run,
     4. scatter indices to (table, rank) for rank < capacity.
+
+    ``store_points`` additionally scatters the point coordinates into a
+    (T, B, 3) table so queries can fetch candidate positions as rows.
     """
     n = points.shape[0]
     h = voxel_hash(voxel_coords(points, cell_size), table_size)
@@ -79,11 +91,23 @@ def build(
     )
     buckets = jnp.full((table_size * bucket_capacity + 1,), -1, jnp.int32)
     buckets = buckets.at[flat_slot].set(order.astype(jnp.int32), mode="drop")
+    bucket_points = None
+    if store_points:
+        bp = jnp.full((table_size * bucket_capacity + 1, 3), jnp.inf, points.dtype)
+        bp = bp.at[flat_slot].set(points[order], mode="drop")
+        # (T, B, 3) -> (T, 3, B) -> (T, 3B): coordinate-major rows keep the
+        # gathered slice wide in the lane dimension (see HashGrid docstring).
+        bucket_points = (
+            bp[:-1].reshape(table_size, bucket_capacity, 3)
+            .transpose(0, 2, 1)
+            .reshape(table_size, 3 * bucket_capacity)
+        )
     return HashGrid(
         buckets=buckets[:-1].reshape(table_size, bucket_capacity),
         counts=counts[:-1],
         cell_size=cell_size,
         table_size=table_size,
+        bucket_points=bucket_points,
     )
 
 
@@ -103,6 +127,73 @@ def gather_candidates(grid: HashGrid, query_points: jnp.ndarray) -> jnp.ndarray:
     return cand.reshape(cand.shape[0], -1)
 
 
+def _candidates_with_points(grid, points, query_points):
+    """(cand (M, C), cx, cy, cz each (M, C)): candidate indices and
+    coordinates, row-gathered when the grid stores bucket_points (empty
+    slots carry +inf coords), scalar-gathered from ``points`` otherwise.
+    Coordinates stay as separate (M, C) planes — the long axis in the
+    lanes, per the hot-path layout rule."""
+    m = query_points.shape[0]
+    cells = voxel_coords(query_points, grid.cell_size)
+    neigh = cells[:, None, :] + _OFFSETS[None, :, :]
+    hashes = voxel_hash(neigh, grid.table_size)  # (M, 27)
+    cand = grid.buckets[hashes].reshape(m, -1)
+    if grid.bucket_points is not None:
+        rows = grid.bucket_points[hashes]  # (M, 27, 3B)
+        b = rows.shape[-1] // 3
+        cx = rows[..., 0 * b : 1 * b].reshape(m, -1)
+        cy = rows[..., 1 * b : 2 * b].reshape(m, -1)
+        cz = rows[..., 2 * b : 3 * b].reshape(m, -1)
+    else:
+        cand_pts = points[jnp.maximum(cand, 0)]
+        cx, cy, cz = (cand_pts[..., i] for i in range(3))
+    return cand, cx, cy, cz
+
+
+def radius_neighbors_with_points(
+    grid: HashGrid,
+    points: jnp.ndarray,
+    query_points: jnp.ndarray,
+    radius: float,
+    max_neighbors: int,
+    exclude_self_index: jnp.ndarray | None = None,
+    select: str = "exact",
+):
+    """radius_neighbors that also returns the selected neighbor POSITIONS
+    (M, K, 3) — taken from the candidate tensor already in registers, so
+    callers skip a second (M, K) scalar gather from ``points``.
+
+    ``select="approx"`` uses `lax.approx_min_k` (the TPU-optimized partial
+    reduction; exact on CPU) — ~0.95 recall of the true k nearest, right for
+    weighted-aggregation consumers like the MLS fits; keep "exact" when the
+    caller needs the precise nearest set."""
+    cand, cx, cy, cz = _candidates_with_points(grid, points, query_points)
+    cand_valid = cand >= 0
+    dx = cx - query_points[:, 0:1]
+    dy = cy - query_points[:, 1:2]
+    dz = cz - query_points[:, 2:3]
+    d2 = dx * dx + dy * dy + dz * dz
+    big = jnp.asarray(jnp.inf, d2.dtype)
+    d2 = jnp.where(cand_valid & (d2 <= radius * radius), d2, big)
+    if exclude_self_index is not None:
+        d2 = jnp.where(cand == exclude_self_index[:, None], big, d2)
+
+    k = min(max_neighbors, cand.shape[1])
+    if select == "approx":
+        top_d2, top_idx = jax.lax.approx_min_k(d2, k)
+    else:
+        neg_top, top_idx = jax.lax.top_k(-d2, k)
+        top_d2 = -neg_top
+    ok = top_d2 < big  # finite <=> in-radius valid candidate
+    dist = jnp.sqrt(jnp.maximum(top_d2, 0.0))
+    idx = jnp.take_along_axis(cand, top_idx, axis=1)
+    pts_sel = jnp.stack(
+        [jnp.take_along_axis(c, top_idx, axis=1) for c in (cx, cy, cz)], axis=-1
+    )
+    pts_sel = jnp.where(ok[..., None], pts_sel, 0.0)
+    return jnp.where(ok, idx, -1), pts_sel, jnp.where(ok, dist, big), ok
+
+
 def radius_neighbors(
     grid: HashGrid,
     points: jnp.ndarray,
@@ -117,22 +208,10 @@ def radius_neighbors(
     slots have index -1 and distance +inf. The nearest-first ordering comes
     from a top-k over the 27-bucket candidate set.
     """
-    cand = gather_candidates(grid, query_points)  # (M, C)
-    cand_valid = cand >= 0
-    cand_pts = points[jnp.maximum(cand, 0)]  # (M, C, 3)
-    d2 = jnp.sum((cand_pts - query_points[:, None, :]) ** 2, axis=-1)
-    big = jnp.asarray(jnp.inf, d2.dtype)
-    d2 = jnp.where(cand_valid & (d2 <= radius * radius), d2, big)
-    if exclude_self_index is not None:
-        d2 = jnp.where(cand == exclude_self_index[:, None], big, d2)
-
-    k = min(max_neighbors, cand.shape[1])
-    neg_top, top_idx = jax.lax.top_k(-d2, k)
-    top_d2 = -neg_top
-    ok = top_d2 < big  # finite <=> in-radius valid candidate
-    dist = jnp.sqrt(jnp.maximum(top_d2, 0.0))
-    idx = jnp.take_along_axis(cand, top_idx, axis=1)
-    return jnp.where(ok, idx, -1), jnp.where(ok, dist, big), ok
+    idx, _, dist, ok = radius_neighbors_with_points(
+        grid, points, query_points, radius, max_neighbors, exclude_self_index
+    )
+    return idx, dist, ok
 
 
 def chunked_radius_neighbors(

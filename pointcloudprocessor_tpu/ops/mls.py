@@ -51,6 +51,40 @@ class MLSSurface(NamedTuple):
     ok: jnp.ndarray
 
 
+def _chol_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched SPD solve via a fully UNROLLED Cholesky (d = static, small).
+
+    `jnp.linalg.solve` on (N, d, d) batches lowers to LU custom calls /
+    loops that crawl on TPU; for the d∈{3,6} systems of the MLS fits this
+    unrolled form is pure elementwise VPU code over the batch — every L
+    entry is one (N,) array, no matrix ops at all.
+    """
+    d = A.shape[-1]
+    L = [[None] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(i + 1):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * d
+    for i in range(d):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * d
+    for i in reversed(range(d)):
+        s = y[i]
+        for k in range(i + 1, d):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, -1)
+
+
 def _smallest_eigvec_3x3(C: jnp.ndarray) -> jnp.ndarray:
     """Unit eigenvector of the smallest eigenvalue of symmetric (..., 3, 3).
 
@@ -65,10 +99,10 @@ def _smallest_eigvec_3x3(C: jnp.ndarray) -> jnp.ndarray:
     A = C + shift
     # Inverse iteration: v <- A^-1 v, twice, from a fixed non-degenerate seed.
     v0 = jnp.ones(C.shape[:-2] + (3,), C.dtype) * jnp.asarray([0.577, 0.577, 0.577], C.dtype)
-    sol = jnp.linalg.solve(A, v0[..., None])[..., 0]
+    sol = _chol_solve(A, v0)
     sol = sol / jnp.maximum(jnp.linalg.norm(sol, axis=-1, keepdims=True), 1e-20)
-    sol = jnp.linalg.solve(A, sol[..., None])[..., 0]
-    sol = jnp.linalg.solve(A, sol[..., None])[..., 0]
+    sol = _chol_solve(A, sol)
+    sol = _chol_solve(A, sol)
     return sol / jnp.maximum(jnp.linalg.norm(sol, axis=-1, keepdims=True), 1e-20)
 
 
@@ -93,15 +127,19 @@ def fit_surfaces(
     neigh_ok: jnp.ndarray,
     sqr_gauss_param: float,
     polynomial_order: int = 2,
+    neigh_pts: jnp.ndarray | None = None,
 ) -> MLSSurface:
     """Fit the local MLS surface around every query point.
 
     points: (N, 3) cloud the neighbor indices refer to.
     queries: (M, 3) fit centers (the cloud itself in the smoothing pass).
     neigh_idx/neigh_ok: (M, K) from :func:`knn.radius_neighbors`.
+    neigh_pts: optional (M, K, 3) neighbor positions (from
+        `knn.radius_neighbors_with_points`) — skips the (M, K) scalar
+        gather from ``points``, which dominates on TPU.
     """
     q = queries
-    npts = points[jnp.maximum(neigh_idx, 0)]  # (M, K, 3)
+    npts = neigh_pts if neigh_pts is not None else points[jnp.maximum(neigh_idx, 0)]
     w = neigh_ok.astype(points.dtype)
     d2 = jnp.sum((npts - q[:, None, :]) ** 2, axis=-1)
     # PCL weight: exp(-d^2 / sqr_gauss) (MovingLeastSquares theta), masked.
@@ -128,7 +166,7 @@ def fit_surfaces(
         AtA = jnp.einsum("mki,mkj->mij", Aw, A)
         Ath = jnp.einsum("mki,mk->mi", Aw, h)
         ridge = 1e-8 * jnp.eye(6, dtype=points.dtype)
-        coeffs = jnp.linalg.solve(AtA + ridge, Ath[..., None])[..., 0]
+        coeffs = _chol_solve(AtA + ridge, Ath)
         # Fall back to the plane (zero coeffs) when under-determined.
         coeffs = jnp.where((cnt >= 6)[:, None], coeffs, jnp.zeros_like(coeffs))
     else:
@@ -195,15 +233,18 @@ def _mls_smooth_jit(
     grid = knn.build(
         points, valid, cell_size=search_radius,
         table_size=table_size, bucket_capacity=bucket_capacity,
+        store_points=True,  # row-gathered candidates (see knn.HashGrid)
     )
     pad = (-n) % chunk_size
     qc = jnp.pad(points, ((0, pad), (0, 0))).reshape(-1, chunk_size, 3)
 
     def one(q):
-        idx, _, ok = knn.radius_neighbors(
-            grid, points, q, search_radius, max_neighbors
+        idx, npts, _, ok = knn.radius_neighbors_with_points(
+            grid, points, q, search_radius, max_neighbors, select="approx"
         )
-        surf = fit_surfaces(points, q, idx, ok, sqr_gauss_param, polynomial_order)
+        surf = fit_surfaces(
+            points, q, idx, ok, sqr_gauss_param, polynomial_order, neigh_pts=npts
+        )
         pos, nrm = project_onto(surf, q)
         return surf, pos, nrm
 
@@ -236,7 +277,10 @@ def mls_smooth(
         sqr_gauss_param=float(cfg.sqr_gauss_param),
         polynomial_order=int(cfg.polynomial_order),
         bucket_capacity=int(cfg.bucket_capacity),
-        table_size=max(2 * n, 1024),
+        # Half-size table: with bucket_points the table costs T*B*12 bytes,
+        # and dense clouds occupy ~n/27 cells, so T=n/2 keeps the collision
+        # rate negligible at a quarter of the 2n footprint.
+        table_size=max(n // 2, 1024),
         chunk_size=min(chunk_size, max(2 * n, 1024)),
     )
     return pos, nrm, surf.ok & valid, surf
