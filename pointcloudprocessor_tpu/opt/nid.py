@@ -128,6 +128,49 @@ def prepare_keyframes(kfs: NIDKeyframe) -> NIDKeyframe:
     return kfs._replace(tap_rows=jax.vmap(build_tap_table)(kfs.bin_image))
 
 
+def sort_by_raster(
+    camera: "cam.PinholeCamera", T_camera_lidar: se3.SE3, kfs: NIDKeyframe
+) -> NIDKeyframe:
+    """Permute each keyframe's points into projected raster order.
+
+    The NID histograms are plain sums over points, so any per-keyframe
+    permutation of (points, intensity, valid) leaves the objective unchanged
+    (up to f32 summation order). But every objective evaluation gathers one
+    tap-table row per point from the (H*W, 2) table: culled points arrive in
+    MAP order, so those gathers hit ~random rows and each one costs a
+    tile-granular HBM transaction. Sorted by the anchor pixel's raster index,
+    consecutive points fetch monotonically increasing (usually adjacent) rows
+    and the fetches coalesce. The order is computed ONCE at the solve's
+    initial pose; the trust region bounds pose motion to 0.2 m / 2 deg
+    (`visual_camera_calibration.cpp:102`), which moves anchors by at most a
+    few pixels, so the order stays near-sequential for the whole solve.
+
+    Out-of-view or invalid points sort to the end (their taps are masked
+    out by ``inlier`` anyway). Idempotent in effect: re-sorting an already
+    sorted keyframe is a no-op permutation.
+    """
+
+    def one(points, intensity, valid):
+        pts_cam = se3.transform_points(T_camera_lidar, points)
+        proj = cam.project(camera, pts_cam)
+        knot = jnp.floor(proj).astype(jnp.int32)
+        inb = (
+            valid
+            & (knot[:, 0] >= 0)
+            & (knot[:, 0] < camera.width)
+            & (knot[:, 1] >= 0)
+            & (knot[:, 1] < camera.height)
+            & (pts_cam[:, 2] > 0)
+        )
+        anchor = knot[:, 1] * camera.width + knot[:, 0]
+        key = jnp.where(inb, anchor, jnp.int32(2**31 - 1))
+        order = jnp.argsort(key)
+        return points[order], intensity[order], valid[order]
+
+    p, i, v = jax.vmap(one)(kfs.points, kfs.intensity, kfs.valid)
+    return kfs._replace(points=p, intensity=i, valid=v)
+
+
 def spline_weights(s: jnp.ndarray) -> jnp.ndarray:
     """(..., ) fractional offsets -> (..., 4) cubic B-spline weights.
 

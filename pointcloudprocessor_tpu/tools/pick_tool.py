@@ -21,9 +21,9 @@ Usage:
     python -m pointcloudprocessor_tpu.tools.pick_tool \
         --filtered-pcd-dir out/filtered_pcd --images-folder images \
         --intrinsic FX FY CX CY --output picks.html
-    # open picks.html, pick >= 3 pairs per keyframe, Export JSON,
-    # then: pcp-tpu ... --enableInitialGuessManual with
-    #       correspondences_path=picks.json
+    # open picks.html, pick >= 3 pairs per keyframe, Export JSON, then:
+    python -m pointcloudprocessor_tpu.cli ... \
+        --enableInitialGuessManual --correspondences picks.json
 """
 
 from __future__ import annotations
@@ -61,6 +61,12 @@ _PAGE = """<!DOCTYPE html>
   <p id="status">Click = pick 3D point (snaps to nearest projected point).
 Shift+Click = pick 2D pixel (exact).
 Picks alternate 3D &rarr; 2D into pairs. Wheel = zoom, drag = pan.</p>
+  <details id="posebox">
+    <summary>Live pose preview</summary>
+    <div id="posesliders"></div>
+    <div id="posereadout" style="font: 11px monospace;"></div>
+    <button id="posereset">Reset pose</button>
+  </details>
   <div id="pairs"></div>
   <button id="undo">Undo last</button>
   <button id="clear">Clear keyframe</button>
@@ -82,6 +88,84 @@ const picks = {{}};  // ts -> [{{px:[u,v], pt:[x,y,z]}}]
 Object.keys(DATA).forEach(ts => picks[ts] = []);
 
 function cur() {{ return DATA[kfSel.value]; }}
+
+// --- Live pose preview -----------------------------------------------------
+// Headless stand-in for the reference's SE(3) gizmo + 50 ms recolor thread
+// (`visual_lidar_visualizer.cpp:89-100`, `initial_guess_manual.hpp:170-215`):
+// six sliders define a candidate correction T = (R(rvec), t) applied to the
+// embedded CAMERA-FRAME points; the overlay reprojects live on every change.
+// `liveProject` must match models/camera.py project_xyz EXACTLY — its Python
+// twin `preview_project` below is asserted against the camera model in
+// tests/test_pick_tool.py.
+const POSE_AXES = [
+  ['tx', -0.3, 0.3, 0.001, 'm'], ['ty', -0.3, 0.3, 0.001, 'm'],
+  ['tz', -0.3, 0.3, 0.001, 'm'], ['rx', -3, 3, 0.01, 'deg'],
+  ['ry', -3, 3, 0.01, 'deg'], ['rz', -3, 3, 0.01, 'deg']];
+const pose = {{tx:0, ty:0, tz:0, rx:0, ry:0, rz:0}};
+const psDiv = document.getElementById('posesliders');
+POSE_AXES.forEach(([ax, lo, hi, st, unit]) => {{
+  const l = document.createElement('label');
+  l.textContent = `${{ax}} (${{unit}})`;
+  const r = document.createElement('input');
+  r.type = 'range'; r.min = lo; r.max = hi; r.step = st; r.value = 0;
+  r.id = 'pose_' + ax;
+  r.addEventListener('input', () => {{ pose[ax] = +r.value; poseChanged(); }});
+  l.appendChild(r); psDiv.appendChild(l);
+}});
+function poseIdentity() {{
+  return POSE_AXES.every(([ax]) => pose[ax] === 0);
+}}
+function rotFromVec(r) {{  // Rodrigues: rotation vector (rad) -> row-major 3x3
+  const th = Math.hypot(r[0], r[1], r[2]);
+  if (th < 1e-12) return [1,0,0, 0,1,0, 0,0,1];
+  const kx = r[0]/th, ky = r[1]/th, kz = r[2]/th;
+  const c = Math.cos(th), s = Math.sin(th), v = 1 - c;
+  return [c + kx*kx*v, kx*ky*v - kz*s, kx*kz*v + ky*s,
+          ky*kx*v + kz*s, c + ky*ky*v, ky*kz*v - kx*s,
+          kz*kx*v - ky*s, kz*ky*v + kx*s, c + kz*kz*v];
+}}
+function liveProject(cm, R, t, x, y, z) {{  // == camera.py project_xyz
+  const px = R[0]*x + R[1]*y + R[2]*z + t[0];
+  const py = R[3]*x + R[4]*y + R[5]*z + t[1];
+  const pz = R[6]*x + R[7]*y + R[8]*z + t[2];
+  const sz = Math.abs(pz) < 1e-9 ? (pz < 0 ? -1e-9 : 1e-9) : pz;
+  const xn = px/sz, yn = py/sz;
+  const k1 = cm.d[0], k2 = cm.d[1], p1 = cm.d[2], p2 = cm.d[3], k3 = cm.d[4];
+  const x2 = xn*xn, y2 = yn*yn, xy = xn*yn;
+  const r2 = x2 + y2, r4 = r2*r2, r6 = r2*r4;
+  const rc = 1 + k1*r2 + k2*r4 + k3*r6;
+  const xd = rc*xn + p1*(2*xy) + p2*(r2 + 2*x2);
+  const yd = rc*yn + p1*(r2 + 2*y2) + p2*(2*xy);
+  return [cm.fx*xd + cm.cx, cm.fy*yd + cm.cy, pz];
+}}
+function poseChanged() {{
+  const d = cur();
+  if (poseIdentity()) {{ delete d.lu; delete d.lv; delete d.lok; }}
+  else {{
+    const deg = Math.PI / 180.0;
+    const R = rotFromVec([pose.rx*deg, pose.ry*deg, pose.rz*deg]);
+    const t = [pose.tx, pose.ty, pose.tz];
+    d.lu = new Float64Array(d.x.length); d.lv = new Float64Array(d.x.length);
+    d.lok = new Uint8Array(d.x.length);
+    for (let i = 0; i < d.x.length; i++) {{
+      const uvz = liveProject(d.cam, R, t, d.x[i], d.y[i], d.z[i]);
+      d.lu[i] = uvz[0]; d.lv[i] = uvz[1]; d.lok[i] = uvz[2] > 0 ? 1 : 0;
+    }}
+  }}
+  document.getElementById('posereadout').textContent =
+    `t=(${{pose.tx.toFixed(3)}}, ${{pose.ty.toFixed(3)}}, ${{pose.tz.toFixed(3)}}) m  ` +
+    `r=(${{pose.rx.toFixed(2)}}, ${{pose.ry.toFixed(2)}}, ${{pose.rz.toFixed(2)}}) deg`;
+  draw();
+}}
+document.getElementById('posereset').onclick = () => {{
+  POSE_AXES.forEach(([ax]) => {{
+    pose[ax] = 0; document.getElementById('pose_' + ax).value = 0;
+  }});
+  poseChanged();
+}};
+function dispU(d, i) {{ return d.lu ? d.lu[i] : d.u[i]; }}
+function dispV(d, i) {{ return d.lv ? d.lv[i] : d.v[i]; }}
+function dispOk(d, i) {{ return d.lok ? d.lok[i] === 1 : true; }}
 function resize() {{
   const m = document.getElementById('main');
   cv.width = m.clientWidth; cv.height = m.clientHeight; draw();
@@ -104,8 +188,9 @@ function draw() {{
   if (document.getElementById('showpts').checked) {{
     ctx.globalAlpha = blend;
     for (let i = 0; i < d.u.length; i++) {{
+      if (!dispOk(d, i)) continue;
       ctx.fillStyle = turbo(d.i[i]);
-      ctx.fillRect(d.u[i]-ps/2, d.v[i]-ps/2, ps, ps);
+      ctx.fillRect(dispU(d, i)-ps/2, dispV(d, i)-ps/2, ps, ps);
     }}
     ctx.globalAlpha = 1.0;
   }}
@@ -147,14 +232,15 @@ cv.addEventListener('mouseup', e => {{
     if (!pending3d) {{ setStatus('Pick the 3D point first (plain click).'); return; }}
     picks[kfSel.value].push({{proj: pending3d.proj, pt: pending3d.pt, px: [u, v]}});
     pending3d = null; renderPairs(); draw();
-  }} else {{          // 3D point pick: snap to nearest projected point
+  }} else {{          // 3D point pick: snap to nearest DISPLAYED point
     const d = cur(); let best = -1, bd = 1e18;
     for (let i = 0; i < d.u.length; i++) {{
-      const dd = (d.u[i]-u)**2 + (d.v[i]-v)**2;
+      if (!dispOk(d, i)) continue;
+      const dd = (dispU(d, i)-u)**2 + (dispV(d, i)-v)**2;
       if (dd < bd) {{ bd = dd; best = i; }}
     }}
     if (best < 0 || Math.sqrt(bd) > 30/view.s) {{ setStatus('No projected point near click.'); return; }}
-    pending3d = {{proj: [d.u[best], d.v[best]], pt: [d.x[best], d.y[best], d.z[best]]}};
+    pending3d = {{proj: [dispU(d, best), dispV(d, best)], pt: [d.x[best], d.y[best], d.z[best]]}};
     setStatus(`3D pick: (${{pending3d.pt.map(a=>a.toFixed(3)).join(', ')}})\\nNow Shift+Click the matching pixel.`);
     draw();
   }}
@@ -201,7 +287,7 @@ function loadKf() {{
   img = new Image();
   img.onload = () => {{ view = {{x: 0, y: 0, s: Math.min(cv.width/img.width, cv.height/img.height)}}; draw(); }};
   img.src = cur().image;
-  pending3d = null; renderPairs();
+  pending3d = null; renderPairs(); poseChanged();
 }}
 kfSel.addEventListener('change', loadKf);
 resize(); loadKf();
@@ -246,6 +332,7 @@ def build_keyframe_entry(camera, cloud_path: str, image_path: str, max_points: i
     ext = os.path.splitext(image_path)[1].lstrip(".").lower() or "jpeg"
     ext = {"jpg": "jpeg"}.get(ext, ext)
     r3 = lambda a: [round(float(x), 3) for x in a]
+    intr = np.asarray(camera.intrinsic, np.float64)
     return {
         "image": f"data:image/{ext};base64,{b64}",
         "u": r3(uv[idx, 0]),
@@ -254,7 +341,53 @@ def build_keyframe_entry(camera, cloud_path: str, image_path: str, max_points: i
         "y": r3(pts[idx, 1]),
         "z": r3(pts[idx, 2]),
         "i": [round(float(x), 3) for x in inten[idx]],
+        # Intrinsics for the page's live-pose reprojection (`liveProject`).
+        "cam": {
+            "fx": float(intr[0]), "fy": float(intr[1]),
+            "cx": float(intr[2]), "cy": float(intr[3]),
+            "d": [float(x) for x in np.asarray(camera.distortion, np.float64)],
+        },
     }
+
+
+def preview_project(points, pose6, intrinsic, distortion):
+    """Python twin of the page's `liveProject` + `rotFromVec` JS (kept
+    line-for-line parallel; see `_PAGE`): camera-frame points (N, 3) under a
+    candidate correction ``pose6`` = [tx, ty, tz, rx, ry, rz] (meters,
+    RADIANS rotation vector) -> (u (N,), v (N,), z_after (N,)).
+
+    tests/test_pick_tool.py asserts this twin agrees with
+    `models/camera.project` on random distorted points, which is what ties
+    the embedded JS formula to the engine's camera model.
+    """
+    pts = np.asarray(points, np.float64)
+    t = np.asarray(pose6[:3], np.float64)
+    r = np.asarray(pose6[3:], np.float64)
+    th = float(np.hypot(np.hypot(r[0], r[1]), r[2]))
+    if th < 1e-12:
+        R = np.eye(3)
+    else:
+        kx, ky, kz = r / th
+        c, s, vv = np.cos(th), np.sin(th), 1.0 - np.cos(th)
+        R = np.array([
+            [c + kx * kx * vv, kx * ky * vv - kz * s, kx * kz * vv + ky * s],
+            [ky * kx * vv + kz * s, c + ky * ky * vv, ky * kz * vv - kx * s],
+            [kz * kx * vv - ky * s, kz * ky * vv + kx * s, c + kz * kz * vv],
+        ])
+    p = pts @ R.T + t
+    pz = p[:, 2]
+    sz = np.where(np.abs(pz) < 1e-9, np.where(pz < 0, -1e-9, 1e-9), pz)
+    xn, yn = p[:, 0] / sz, p[:, 1] / sz
+    k1, k2, p1, p2, k3 = (float(d) for d in distortion)
+    x2, y2, xy = xn * xn, yn * yn, xn * yn
+    r2 = x2 + y2
+    r4 = r2 * r2
+    r6 = r2 * r4
+    rc = 1.0 + k1 * r2 + k2 * r4 + k3 * r6
+    xd = rc * xn + p1 * (2.0 * xy) + p2 * (r2 + 2.0 * x2)
+    yd = rc * yn + p1 * (r2 + 2.0 * y2) + p2 * (2.0 * xy)
+    fx, fy, cx, cy = (float(i) for i in intrinsic)
+    return fx * xd + cx, fy * yd + cy, pz
 
 
 def generate(

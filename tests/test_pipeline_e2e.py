@@ -20,15 +20,26 @@ from test_nid import intensity_field
 W, H, F = 128, 96, 120.0
 
 
-def write_dataset(root, with_masks=False, n_frames=3, odom_offset=(0.0, 0.0, 0.0), field=intensity_field):
+def write_dataset(root, with_masks=False, n_frames=3, odom_offset=(0.0, 0.0, 0.0),
+                  odom_rot_offset=(0.0, 0.0, 0.0), field=intensity_field,
+                  wall_slope=0.0):
     """Map + odometry + images; image gray level = intensity field so NID has
-    signal. Cameras slide along +x looking +z at a wall at z=5.
+    signal. Cameras slide along +x looking +z at a wall at z = 5 +
+    wall_slope*x.
 
-    ``odom_offset`` plants a known odometry error: images are rendered at the
-    TRUE camera pose while the odometry line reports pose + offset. Since
-    camera-frame points computed from the reported pose satisfy
-    p_cam_reported = p_cam_true - offset (identity rotations), the NID
-    correction's ground truth is T_camera_lidar = translation(+offset).
+    ``wall_slope`` tilts the wall in depth. A CONSTANT-depth wall makes
+    small rotations degenerate with translations (du from ry ~ F*ry vs du
+    from tx ~ F*tx/z: indistinguishable when z is constant), so pose-space
+    parity assertions under a rotational plant need wall_slope != 0 to give
+    the solvers parallax that separates the two.
+
+    ``odom_offset`` / ``odom_rot_offset`` plant a known odometry error:
+    images are rendered at the TRUE camera pose (identity rotation) while
+    the odometry line reports position + offset and rotation exp(rot_offset)
+    (a rotation vector, radians). Camera-frame points computed from the
+    reported pose satisfy p_cam_true = R_off p_cam_reported + offset, so the
+    NID correction's ground truth is T_camera_lidar = (R_off, +offset) —
+    translation-only plants reduce to the old translation(+offset).
     ``field`` maps wall (x, y) in meters -> gray in [0, 1]; sharper fields
     give a sharper NID basin (the default field's 2 m period leaves a broad
     plateau — see CLAUDE.md).
@@ -44,20 +55,36 @@ def write_dataset(root, with_masks=False, n_frames=3, odom_offset=(0.0, 0.0, 0.0
     n = 6000
     x = rng.uniform(-3.5, 4.0, n)
     y = rng.uniform(-2.5, 2.5, n)
-    pts = np.stack([x, y, np.full(n, 5.0)], -1).astype(np.float32)
+    pts = np.stack([x, y, 5.0 + wall_slope * x], -1).astype(np.float32)
     inten = np.clip(field(x, y), 0, 1).astype(np.float32)
     pcd.write(str(root / "map.pcd"), pts, intensity=inten)
 
     ox, oy, oz = odom_offset
+    rv = np.asarray(odom_rot_offset, np.float64)
+    th = float(np.linalg.norm(rv))
+    if th > 0.0:
+        q_off = np.concatenate([[np.cos(th / 2)], np.sin(th / 2) * rv / th])
+    else:
+        q_off = np.array([1.0, 0.0, 0.0, 0.0])
+    qw, qx, qy, qz = q_off
     lines = []
     for i in range(n_frames):
         ts = 100.0 + 0.5 * i
         px = 0.15 * i
-        lines.append(f"{ts:.6f} {px + ox:.8f} {oy:.8f} {oz:.8f} 1 0 0 0")
-        # Render the image this camera would see of the wall.
+        lines.append(
+            f"{ts:.6f} {px + ox:.8f} {oy:.8f} {oz:.8f} "
+            f"{qw:.8f} {qx:.8f} {qy:.8f} {qz:.8f}"
+        )
+        # Render the image this camera would see of the wall: ray-cast from
+        # the TRUE camera at (px, 0, 0), identity rotation, onto the plane
+        # z = 5 + wall_slope*x. For wall_slope=0 this reduces to the old
+        # constant-depth mapping wx = (u-cx)/F*5 + px.
         uu, vv = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
-        wx = (uu - W / 2) / F * 5.0 + px  # camera at x=px
-        wy = (vv - H / 2) / F * 5.0
+        dx = (uu - W / 2) / F
+        dy = (vv - H / 2) / F
+        s = (5.0 + wall_slope * px) / (1.0 - wall_slope * dx)
+        wx = px + s * dx
+        wy = s * dy
         gray = np.clip(field(wx, wy), 0, 1)
         img = (np.stack([gray] * 3, -1) * 255).astype(np.uint8)
         cv2.imwrite(str(root / "images" / f"{ts:.6f}.jpg"), img[:, :, ::-1])
@@ -341,6 +368,39 @@ def test_e2e_manual_guess(tmp_path):
         se3.identity(),
     )
     assert float(dt) < 0.02 and float(np.degrees(float(dr))) < 0.5
+
+
+def test_cli_manual_guess_flags(tmp_path, capsys):
+    """The reference's `--enableInitialGuessManual` flag (`src/main.cpp:11-20`)
+    drives the headless manual-guess path ENTIRELY through CLI flags:
+    pick-JSON (tools.pick_tool schema) -> per-keyframe pose estimation ->
+    colorize, the workflow documented in tools/pick_tool.py."""
+    write_dataset(tmp_path)
+    rng = np.random.default_rng(11)
+    n = 12
+    u = rng.uniform(10, W - 10, n)
+    v = rng.uniform(10, H - 10, n)
+    pts_cam = np.stack([(u - W / 2) / F * 5.0, (v - H / 2) / F * 5.0,
+                        np.full(n, 5.0)], -1)
+    corr = {"100.000000": {"pixels": np.stack([u, v], -1).tolist(),
+                           "points": pts_cam.tolist()}}
+    (tmp_path / "picks.json").write_text(json.dumps(corr))
+    # The CLI needs the camera/capacity config that small_config carries.
+    cfg = small_config(tmp_path)
+    (tmp_path / "config.json").write_text(cfg.to_json())
+
+    from pointcloudprocessor_tpu import cli
+
+    rc = cli.main([
+        "--config", str(tmp_path / "config.json"),
+        "--enableInitialGuessManual",
+        "--correspondences", str(tmp_path / "picks.json"),
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out)
+    assert summary["colored_points"] > 3000
+    saved = json.loads((tmp_path / "out" / "manual_poses.json").read_text())
+    assert list(saved) == ["100.000000"]
 
 
 def test_e2e_resume_and_metrics(tmp_path):

@@ -106,7 +106,17 @@ def golden(tmp_path_factory):
     """Run engine + oracle once on the planted-offset dataset; share results."""
     root = tmp_path_factory.mktemp("golden")
     offset = (0.04, -0.02, 0.0)
-    write_dataset(root, odom_offset=offset, field=sharp_field)
+    # Rotational plant ~0.62 deg about a skew axis (VERDICT r2 missing #3:
+    # the parity chain must cover the harder half of SE(3), not only
+    # translation). Ground truth correction = (exp(rot_offset), +offset),
+    # see write_dataset's docstring.
+    rot_offset = (0.004, -0.006, 0.008)
+    # wall_slope gives the scene depth variation: on a constant-depth wall,
+    # ry/rx are degenerate with tx/ty (see write_dataset docstring) and the
+    # two solvers drift apart along the flat valley — pose-space parity
+    # under a rotation plant is only meaningful with parallax.
+    write_dataset(root, odom_offset=offset, odom_rot_offset=rot_offset,
+                  field=sharp_field, wall_slope=0.25)
 
     # --- Engine: full pipeline, reference-faithful knobs.
     from pointcloudprocessor_tpu.core import se3
@@ -159,6 +169,7 @@ def golden(tmp_path_factory):
     return dict(
         root=root,
         offset=np.asarray(offset),
+        rot_offset=np.asarray(rot_offset),
         res=res,
         T_engine=T_engine,
         T_oracle=T_oracle,
@@ -170,10 +181,14 @@ def golden(tmp_path_factory):
 
 def test_golden_correction_parity(golden):
     """Engine and oracle recover the SAME correction (within 1 cm / 1 deg),
-    and both recover the planted ground truth (translation(+offset) —
-    reported-camera-frame points need +offset to land at the true camera
-    pose, see write_dataset's docstring)."""
+    and both recover the planted ground truth — a full SE(3) plant,
+    (exp(rot_offset), +offset): reported-camera-frame points need the
+    rotation AND the +offset to land at the true camera pose, see
+    write_dataset's docstring."""
     T_true = np.eye(4)
+    T_true[:3, :3] = oracle.exp_se3(
+        np.concatenate([np.zeros(3), golden["rot_offset"]])
+    )[:3, :3]
     T_true[:3, 3] = golden["offset"]
 
     dt_eo, dr_eo = oracle.delta_magnitudes(golden["T_engine"], golden["T_oracle"])
