@@ -20,7 +20,7 @@ import time
 
 
 def run_once(n_devices: int, k: int, n_points: int, width: int, height: int,
-             inner: int, outer: int) -> dict:
+             inner: int, outer: int, kf_ax: int | None = None) -> dict:
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -31,9 +31,10 @@ def run_once(n_devices: int, k: int, n_points: int, width: int, height: int,
     from ..parallel import fusion_shard, mesh as mesh_lib, nid_shard
 
     devices = jax.devices()[:n_devices]
-    kf_ax = min(k, n_devices)
-    while n_devices % kf_ax:
-        kf_ax -= 1
+    if kf_ax is None:
+        kf_ax = min(k, n_devices)
+        while n_devices % kf_ax:
+            kf_ax -= 1
     pt_ax = n_devices // kf_ax
     mesh = mesh_lib.make_mesh(kf=kf_ax, pt=pt_ax, devices=devices)
 
@@ -117,6 +118,9 @@ def main(argv=None) -> int:
     ap.add_argument("--height", type=int, default=768)
     ap.add_argument("--inner", type=int, default=10)
     ap.add_argument("--outer", type=int, default=2)
+    ap.add_argument("--sweep-shapes", action="store_true",
+                    help="also sweep every (kf x pt) mesh factorization at "
+                    "the max device count and assert NID equality")
     args = ap.parse_args(argv)
 
     if args.virtual:
@@ -148,6 +152,31 @@ def main(argv=None) -> int:
             "value": round(eff, 3),
             "note": "meaningful only on real chips" if args.virtual else "",
         }))
+
+    if args.sweep_shapes:
+        # Mesh-SHAPE sweep at the max device count (VERDICT r2 #6): every
+        # (kf x pt) factorization, certifying the point-axis histogram-psum
+        # path (`parallel/nid_shard.py`) beyond kf-only sharding. The NID
+        # must be IDENTICAL across shapes (same f32 psum tree per keyframe).
+        n = counts[-1]
+        shape_results = []
+        for kf_ax in [d for d in range(1, n + 1) if n % d == 0 and d <= args.keyframes]:
+            r = run_once(n, args.keyframes, args.points, args.width,
+                         args.height, args.inner, args.outer, kf_ax=kf_ax)
+            shape_results.append(r)
+            print(json.dumps(r))
+        nids = [r["nid"] for r in shape_results]
+        spread = max(nids) - min(nids)
+        ok = spread < 1e-3
+        print(json.dumps({
+            "metric": "mesh_shape_nid_spread",
+            "devices": n,
+            "shapes": [f"{r['mesh']['kf']}x{r['mesh']['pt']}" for r in shape_results],
+            "value": round(spread, 6),
+            "equal": ok,
+        }))
+        if not ok:
+            return 1
     return 0
 
 

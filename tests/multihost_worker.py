@@ -13,6 +13,7 @@ import sys
 
 def main():
     proc, port = int(sys.argv[1]), sys.argv[2]
+    mode = sys.argv[3] if len(sys.argv) > 3 else "normal"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
     )
@@ -22,6 +23,8 @@ def main():
     jax.distributed.initialize(
         coordinator_address=f"localhost:{port}", num_processes=2, process_id=proc
     )
+    if mode == "failover":
+        return failover_main(proc)
     import jax.numpy as jnp
     import numpy as np
 
@@ -121,6 +124,74 @@ def main():
           f"pose_graph_err={pg_err:.2e} "
           f"{'MULTIHOST_OK' if ok else 'MULTIHOST_MISMATCH'}", flush=True)
     sys.exit(0 if ok else 1)
+
+
+def failover_main(proc):
+    """Failure-detection drill (SURVEY §5: the reference has none): process 1
+    dies abruptly (os._exit, no shutdown handshake) between sharded-NID
+    iterations; process 0 must NOT hang — the next collective must raise a
+    diagnosable error, which a production driver answers by re-running the
+    stage from its checkpoint artifacts (pipeline --resume)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pointcloudprocessor_tpu.core import se3
+    from pointcloudprocessor_tpu.opt import nid
+    from pointcloudprocessor_tpu.parallel import mesh as mesh_lib
+    from pointcloudprocessor_tpu.parallel import nid_shard
+
+    from synthetic import simple_camera
+    from test_nid import make_keyframe, nid_scene
+
+    camera = simple_camera()
+    pts, inten, img = nid_scene(camera)
+    kf = make_keyframe(camera, pts, inten, img)
+    k = 2
+    full = nid.NIDKeyframe(
+        points=np.broadcast_to(np.asarray(kf.points), (k,) + kf.points.shape),
+        intensity=np.broadcast_to(np.asarray(kf.intensity), (k,) + kf.intensity.shape),
+        valid=np.broadcast_to(np.asarray(kf.valid), (k,) + kf.valid.shape),
+        bin_image=np.broadcast_to(np.asarray(kf.bin_image), (k,) + kf.bin_image.shape),
+    )
+    mesh = mesh_lib.make_mesh(kf=2, pt=2)
+    kf_pt = mesh_lib.keyframe_sharding(mesh)
+    kf_only = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(mesh_lib.KF_AXIS)
+    )
+
+    def place(arr, sharding):
+        return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+    kfs = nid.NIDKeyframe(
+        points=place(full.points, kf_pt),
+        intensity=place(full.intensity, kf_pt),
+        valid=place(full.valid, kf_pt),
+        bin_image=place(full.bin_image, kf_only),
+    )
+    T = se3.exp(jnp.asarray([0.01, -0.005, 0.002, 0.003, -0.001, 0.002], jnp.float32))
+
+    for it in range(4):
+        if proc == 1 and it == 2:
+            print("proc 1: dying mid-solve (no handshake)", flush=True)
+            sys.stdout.flush()
+            os._exit(42)
+        try:
+            val = float(nid_shard.sharded_multi_nid_loss(camera, T, kfs, mesh))
+            print(f"proc {proc}: iter {it} nid={val:.6f}", flush=True)
+        except Exception as e:  # the survivor's detection path
+            msg = f"{type(e).__name__}: {e}"
+            print(f"proc {proc}: FAILURE_DETECTED at iter {it} -> {msg[:300]}",
+                  flush=True)
+            # os._exit: the normal interpreter exit runs jax.distributed's
+            # atexit shutdown BARRIER, which can only fail on a cluster with
+            # a dead peer (and kills the process with a fatal log). The drill
+            # asserts detection; a real driver would now re-launch the stage
+            # from its checkpoint artifacts.
+            os._exit(0)
+    # Reaching here on proc 0 means the dead peer went unnoticed.
+    print(f"proc {proc}: NO_FAILURE_DETECTED", flush=True)
+    sys.exit(1 if proc == 0 else 0)
 
 
 if __name__ == "__main__":
