@@ -22,12 +22,21 @@ Timed loops run TWICE (axon-tunnel noise — CLAUDE.md); both runs are
 reported, the JSON value is the second (warm) run.
 
 Extra stage metrics in the same JSON line:
+  friendly_frames_per_s — the round-1 compute-friendly scene (no occluder,
+                    no yaw) as a secondary number, keeping compute-side and
+                    gather-side regressions separable across rounds.
   mls_mpts_per_s  — full MLS pass (grid build + neighbors + fits +
-                    projection, ops/mls.py) at 1M points, millions of
-                    points/s (the reference's hottest stage,
-                    `cloudSmooth.cpp:124-154`).
+                    projection, ops/mls.py) on the hardened corner +
+                    varying-density scene at 1M points (the reference's
+                    hottest stage, `cloudSmooth.cpp:124-154`).
+  mls_vs_cpu_1thread / mls_vs_cpu_30thread_ideal — MLS against a
+                    single-threaded PCL-transliteration divisor on the same
+                    scene (and the reference's 30-thread perfect-scaling
+                    bound).
   hpr_grid_ms     — O(N) grid HPR cull (ops/hpr.py:hpr_mask_grid) at the
                     per-keyframe culled-capacity scale.
+``vs_baseline`` is reported at 1 significant digit: the divisor is a
+subsample-scaled single-thread estimate with measured 2-4x spread.
 
 Usage: python bench.py [--quick]
 """
@@ -57,7 +66,14 @@ def _field_occ(mod, x, y):
     return mod.clip(0.5 + 0.25 * mod.sin(13.0 * x + 1.0) + 0.25 * mod.cos(11.0 * y + 2.0), 0.0, 1.0)
 
 
-def bench_tpu(width, height, n_map, n_cull, k, inner_iters, outer_iters):
+def bench_tpu(width, height, n_map, n_cull, k, inner_iters, outer_iters,
+              friendly=False):
+    """``friendly=False`` is the hardened headline scene (occluder, yawing
+    trajectory, per-keyframe images/culls). ``friendly=True`` re-creates the
+    round-1 compute-friendly scene (no occluder, no yaw — every keyframe
+    sees nearly the same wall) as a SECONDARY number so compute-side and
+    gather-side regressions stay separable across rounds (VERDICT r2 #7).
+    Shapes are identical, so the second run reuses the compiled refine."""
     import jax
     import jax.numpy as jnp
 
@@ -76,7 +92,8 @@ def bench_tpu(width, height, n_map, n_cull, k, inner_iters, outer_iters):
 
     # Keyframe trajectory: translate along +x, yaw about y (distinct poses).
     kf_x = 0.12 * np.arange(k, dtype=np.float32)
-    yaw = np.radians(np.linspace(-4.0, 4.0, k)).astype(np.float32)
+    yaw_span = 0.0 if friendly else 4.0
+    yaw = np.radians(np.linspace(-yaw_span, yaw_span, k)).astype(np.float32)
     quats = np.stack(
         [np.cos(yaw / 2), np.zeros_like(yaw), np.sin(yaw / 2), np.zeros_like(yaw)], -1
     )
@@ -128,6 +145,8 @@ def bench_tpu(width, height, n_map, n_cull, k, inner_iters, outer_iters):
             hit_occ = (
                 (hx >= OCC_X[0]) & (hx <= OCC_X[1]) & (hy >= OCC_Y[0]) & (hy <= OCC_Y[1])
             )
+            if friendly:
+                hit_occ = jnp.zeros_like(hit_occ)
             s_wall = (WALL_Z - t[2]) / dz
             gx, gy = t[0] + s_wall * dx, t[1] + s_wall * dy
             gray = jnp.where(
@@ -155,6 +174,8 @@ def bench_tpu(width, height, n_map, n_cull, k, inner_iters, outer_iters):
                 & (cx_ >= OCC_X[0]) & (cx_ <= OCC_X[1])
                 & (cy_ >= OCC_Y[0]) & (cy_ <= OCC_Y[1])
             )
+            if friendly:
+                shadowed = jnp.zeros_like(shadowed)
             visible = inb & ~shadowed
             rank = jax.random.uniform(jax.random.PRNGKey(kf_i), (n_map,)) + visible
             # Full argsort, NOT lax.top_k: top_k at k=262144 of 1M lowers to
@@ -194,6 +215,20 @@ def bench_tpu(width, height, n_map, n_cull, k, inner_iters, outer_iters):
             max_outer_iterations=outer_iters,
         )
 
+    def refine_step_c2f():
+        # Coarse-to-fine schedule: same total outer solves, first one on a
+        # 4x subsample (see opt/refine.py docstring). Reported separately —
+        # the headline keeps the reference-faithful all-full-res schedule.
+        return refine.refine_pose(
+            camera,
+            kfs,
+            T0,
+            max_inner_iterations=inner_iters,
+            max_outer_iterations=max(outer_iters - 1, 1),
+            coarse_outer_iterations=1,
+            coarse_stride=4,
+        )
+
     # Warm-up (compile), then time TWICE (tunnel noise).
     r = refine_step()
     r.T_camera_lidar.t.block_until_ready()
@@ -213,11 +248,50 @@ def bench_tpu(width, height, n_map, n_cull, k, inner_iters, outer_iters):
         fz.rgb.block_until_ready()
         t_colorize = time.perf_counter() - t0
         runs.append((k / (t_refine + t_colorize), t_refine, t_colorize))
-    return runs, float(r.nid), int(fz.colored.sum())
+
+    c2f = (0.0, float("nan"))
+    if not friendly:
+        rc = refine_step_c2f()
+        rc.T_camera_lidar.t.block_until_ready()
+        print("# c2f refine compiled", file=sys.stderr)
+        t0 = time.perf_counter()
+        rc = refine_step_c2f()
+        rc.T_camera_lidar.t.block_until_ready()
+        t_refine_c2f = time.perf_counter() - t0
+        c2f = (k / (t_refine_c2f + runs[-1][2]), float(rc.nid))
+    return runs, float(r.nid), int(fz.colored.sum()), c2f
+
+
+def _mls_scene(n_points, seed=1):
+    """Hardened MLS scene (VERDICT r2 weak-2): NOT a single flat
+    uniform-density patch. Three pieces, 5 mm surface noise everywhere:
+      A: dense wall z=6 at ~30k pts/m^2 (the friendly baseline),
+      B: PERPENDICULAR wall x=0 sharing the corner edge (grid cells at the
+         corner mix two surfaces — the worst case for a hash-grid + single
+         plane fit),
+      C: sparse extension of A at ~3k pts/m^2 (neighborhoods near the
+         density cliff straddle dense and near-empty cells).
+    Returns (N, 3) float32 numpy points.
+    """
+    rng = np.random.default_rng(seed)
+    n_a = n_points // 2
+    n_b = n_points // 4
+    n_c = n_points - n_a - n_b
+    side_a = float(np.sqrt(n_a / 30000.0))
+    side_b = float(np.sqrt(n_b / 30000.0))
+    side_c = float(np.sqrt(n_c / 3000.0))
+    noise = lambda n: 0.005 * rng.standard_normal(n)
+    a = np.stack([rng.uniform(0, side_a, n_a), rng.uniform(0, side_a, n_a),
+                  6.0 + noise(n_a)], -1)
+    b = np.stack([0.0 + noise(n_b), rng.uniform(0, side_b, n_b),
+                  6.0 - rng.uniform(0, side_b, n_b)], -1)
+    c = np.stack([rng.uniform(-side_c, 0, n_c), rng.uniform(0, side_c, n_c),
+                  6.0 + noise(n_c)], -1)
+    return np.concatenate([a, b, c]).astype(np.float32)
 
 
 def bench_mls(n_points):
-    """Full MLS pass (ops/mls.py) at ``n_points`` on the current backend.
+    """Full MLS pass (ops/mls.py) on the hardened scene, current backend.
 
     The reference's dominant wall-clock stage (`cloudSmooth.cpp:124-154`,
     PCL MLS with 30 threads). Returns two timed runs in points/s.
@@ -228,15 +302,7 @@ def bench_mls(n_points):
     from pointcloudprocessor_tpu.ops import mls
     from pointcloudprocessor_tpu.utils.config import MLSConfig
 
-    key = jax.random.PRNGKey(1)
-    k1, k2, k3 = jax.random.split(key, 3)
-    # Wall patch with realistic LiDAR-map density (~30k pts/m^2 at 1M) and
-    # 5 mm surface noise for the fits to smooth.
-    side = float(np.sqrt(n_points / 30000.0))
-    x = jax.random.uniform(k1, (n_points,), jnp.float32, 0.0, side)
-    y = jax.random.uniform(k2, (n_points,), jnp.float32, 0.0, side)
-    z = 6.0 + 0.005 * jax.random.normal(k3, (n_points,))
-    pts = jax.block_until_ready(jnp.stack([x, y, z], -1))
+    pts = jax.block_until_ready(jnp.asarray(_mls_scene(n_points)))
     valid = jnp.ones((n_points,), bool)
     cfg = MLSConfig()  # reference params: radius 0.03, sqr_gauss 0.0009
 
@@ -250,6 +316,62 @@ def bench_mls(n_points):
         pos.block_until_ready()
         runs.append(n_points / (time.perf_counter() - t0))
     return runs
+
+
+def bench_mls_cpu(n_points, n_sample, radius=0.03, sqr_gauss=0.0009):
+    """Single-threaded transliteration of the PCL MLS inner loop the
+    reference drives (`cloudSmooth.cpp:124-154`; PCL MovingLeastSquares:
+    per point kd-tree radius search -> covariance EVD plane -> Gaussian
+    exp(-d^2/sqr_gauss)-weighted order-2 polynomial LSQ -> projection),
+    timed on ``n_sample`` query points over the SAME hardened scene and
+    scaled linearly; the kd-tree build over the full cloud is measured
+    directly (PCL pays it once in setInputCloud). The reference configures
+    30 threads (`PointCloudProcessor.cpp:72`) with no published numbers —
+    divide by 30 for its perfect-scaling bound. Returns points/s
+    (single-thread full-scale estimate).
+    """
+    from scipy.spatial import cKDTree
+
+    pts = _mls_scene(n_points).astype(np.float64)
+    t0 = time.perf_counter()
+    tree = cKDTree(pts)
+    t_tree = time.perf_counter() - t0
+
+    rng = np.random.default_rng(3)
+    sample = rng.choice(n_points, size=n_sample, replace=False)
+    t0 = time.perf_counter()
+    for qi in sample:
+        q = pts[qi]
+        idx = tree.query_ball_point(q, radius)
+        k = len(idx)
+        if k < 6:  # PCL: skip when below nr_coeff for order 2
+            continue
+        nb = pts[idx]
+        mean = nb.mean(axis=0)
+        d = nb - mean
+        cov = d.T @ d
+        _, vecs = np.linalg.eigh(cov)
+        normal = vecs[:, 0]
+        # Local tangent frame + query projected onto the plane.
+        u_ax = vecs[:, 2]
+        v_ax = vecs[:, 1]
+        dq = q - mean
+        q_proj = q - np.dot(dq, normal) * normal
+        rel = nb - q_proj
+        du = rel @ u_ax
+        dv = rel @ v_ax
+        h = rel @ normal
+        w = np.exp(-(rel * rel).sum(axis=1) / sqr_gauss)
+        P = np.stack([np.ones(k), du, dv, du * du, du * dv, dv * dv], -1)
+        A = P.T @ (w[:, None] * P)
+        b = P.T @ (w * h)
+        try:
+            coeffs = np.linalg.solve(A, b)
+        except np.linalg.LinAlgError:
+            continue
+        _ = q_proj + coeffs[0] * normal
+    per_pt = (time.perf_counter() - t0) / n_sample
+    return n_points / (t_tree + per_pt * n_points)
 
 
 def bench_hpr(n_points):
@@ -395,23 +517,38 @@ def main():
         n_mls, n_hpr = 1_000_000, 262_144
     inner_iters, outer_iters = 10, 2
 
-    runs, nid_val, colored = bench_tpu(
+    runs, nid_val, colored, (fps_c2f, nid_c2f) = bench_tpu(
         width, height, n_map, n_cull, k, inner_iters, outer_iters
     )
     (fps1, tr1, tc1), (fps2, t_ref, t_col) = runs
+    runs_f, nid_f, _, _ = bench_tpu(
+        width, height, n_map, n_cull, k, inner_iters, outer_iters, friendly=True
+    )
+    fps_friendly = runs_f[1][0]
     mls_runs = bench_mls(n_mls)
     hpr_runs, hpr_visible = bench_hpr(n_hpr)
     cpu_fps = bench_cpu_reference(
         width, height, 20_000 if not args.quick else 5_000, inner_iters, outer_iters, n_cull, n_map, k
     )
+    mls_cpu_pps = bench_mls_cpu(n_mls, 2_000 if not args.quick else 500)
+
+    # The CPU divisor is a subsample-scaled single-thread estimate with
+    # measured 2-4x run-to-run spread (BASELINE.md) — report the ratio as an
+    # ORDER OF MAGNITUDE (1 significant digit), not a fake-precision point.
+    ratio = fps2 / cpu_fps
+    ratio_oom = float(f"{ratio:.0e}")
+    mls_ratio = mls_runs[1] / mls_cpu_pps
 
     print(
-        f"# tpu run1: {fps1:.2f} frames/s (refine {tr1:.3f}s colorize {tc1:.3f}s) | "
+        f"# tpu hardened run1: {fps1:.2f} frames/s (refine {tr1:.3f}s colorize {tc1:.3f}s) | "
         f"run2: {fps2:.2f} frames/s (refine {t_ref:.3f}s colorize {t_col:.3f}s) | "
         f"nid {nid_val:.4f} colored {colored} | "
-        f"mls {mls_runs[0] / 1e6:.2f}/{mls_runs[1] / 1e6:.2f} Mpts/s | "
+        f"c2f {fps_c2f:.2f} frames/s (nid {nid_c2f:.4f}) | "
+        f"friendly {runs_f[0][0]:.2f}/{fps_friendly:.2f} frames/s (nid {nid_f:.4f}) | "
+        f"mls {mls_runs[0] / 1e6:.2f}/{mls_runs[1] / 1e6:.2f} Mpts/s "
+        f"(cpu-1t {mls_cpu_pps / 1e6:.4f} -> {mls_ratio:.0f}x, 30-thread-ideal {mls_ratio / 30:.1f}x) | "
         f"hpr {hpr_runs[0]:.1f}/{hpr_runs[1]:.1f} ms (visible {hpr_visible}) | "
-        f"cpu-ref {cpu_fps:.3f} frames/s",
+        f"cpu-ref {cpu_fps:.3f} frames/s (ratio ~{ratio_oom:.0e})",
         file=sys.stderr,
     )
     print(
@@ -420,9 +557,16 @@ def main():
                 "metric": "colorize_refine_frames_per_s",
                 "value": round(fps2, 3),
                 "unit": "frames/s",
-                "vs_baseline": round(fps2 / cpu_fps, 2),
+                "vs_baseline": ratio_oom,
+                "vs_baseline_note": "single-CPU divisor is a subsample-scaled estimate; 1 significant digit",
                 "run1_frames_per_s": round(fps1, 3),
+                "c2f_frames_per_s": round(fps_c2f, 3),
+                "c2f_nid": round(nid_c2f, 4),
+                "hardened_nid": round(nid_val, 4),
+                "friendly_frames_per_s": round(fps_friendly, 3),
                 "mls_mpts_per_s": round(mls_runs[1] / 1e6, 3),
+                "mls_vs_cpu_1thread": round(mls_ratio, 1),
+                "mls_vs_cpu_30thread_ideal": round(mls_ratio / 30.0, 2),
                 "hpr_grid_ms": round(hpr_runs[1], 2),
             }
         )

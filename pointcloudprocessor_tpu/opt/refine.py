@@ -59,6 +59,17 @@ def _guarded_objective(camera, kfs, bins, trust_trans, trust_rot, loss_fn):
     return objective
 
 
+def _subsample_keyframes(kfs: NIDKeyframe, stride: int) -> NIDKeyframe:
+    """Every ``stride``-th point of each keyframe (static shapes; tap table
+    and bin image shared). Culled points arrive in map or raster order, so a
+    strided slice is a spatially unbiased subsample."""
+    return kfs._replace(
+        points=kfs.points[:, ::stride],
+        intensity=kfs.intensity[:, ::stride],
+        valid=kfs.valid[:, ::stride],
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -66,6 +77,8 @@ def _guarded_objective(camera, kfs, bins, trust_trans, trust_rot, loss_fn):
         "max_outer_iterations",
         "max_inner_iterations",
         "loss_fn",
+        "coarse_outer_iterations",
+        "coarse_stride",
     ),
 )
 def refine_pose(
@@ -81,15 +94,25 @@ def refine_pose(
     trust_region_trans: float = 0.2,
     trust_region_rot: float = 0.034907,  # 2 degrees, :102
     loss_fn=multi_nid_loss,
+    coarse_outer_iterations: int = 0,
+    coarse_stride: int = 4,
 ) -> RefineResult:
-    """Optimize the shared camera<-lidar correction transform over keyframes."""
+    """Optimize the shared camera<-lidar correction transform over keyframes.
+
+    ``coarse_outer_iterations`` > 0 enables a coarse-to-fine schedule with
+    no reference analogue (the reference always evaluates all points,
+    `visual_camera_calibration.cpp:160-178`): the first outer solves run on
+    every ``coarse_stride``-th point — each objective evaluation is
+    gather-bound (see README "NID kernel cost anatomy"), so a 4x subsample
+    cuts the eval cost ~3-4x — and the FINAL outer solves always run at full
+    resolution with identical convergence criteria, so the returned pose
+    minimizes the exact full-resolution objective. The NID plateau
+    (CLAUDE.md) means coarse iterations only need to reach the basin.
+    """
     if loss_fn is multi_nid_loss:
         # Pose-independent tap tables: built once here, reused by every
         # objective evaluation inside the solver loops.
         kfs = _nid.prepare_keyframes(kfs)
-    objective = _guarded_objective(
-        camera, kfs, bins, trust_region_trans, trust_region_rot, loss_fn
-    )
 
     class Outer(NamedTuple):
         T: se3.SE3
@@ -98,25 +121,32 @@ def refine_pose(
         done: jnp.ndarray
         evals: jnp.ndarray
 
-    def cond(st: Outer):
-        return (~st.done) & (st.it < max_outer_iterations)
+    def solve_phase(init: Outer, phase_kfs, max_iters) -> Outer:
+        objective = _guarded_objective(
+            camera, phase_kfs, bins, trust_region_trans, trust_region_rot, loss_fn
+        )
 
-    def body(st: Outer):
-        res = bfgs.minimize(
-            lambda xi: objective(xi, st.T),
-            jnp.zeros(6, st.T.t.dtype),
-            max_iterations=max_inner_iterations,
-        )
-        T_new = se3.compose(st.T, se3.exp(res.x))
-        dt, dr = se3.delta_magnitudes(st.T, T_new)
-        converged = (dt < delta_trans_thresh) & (dr < delta_rot_thresh)
-        return Outer(
-            T=T_new,
-            nid=res.value,
-            it=st.it + 1,
-            done=converged,
-            evals=st.evals + res.evaluations,
-        )
+        def cond(st: Outer):
+            return (~st.done) & (st.it < max_iters)
+
+        def body(st: Outer):
+            res = bfgs.minimize(
+                lambda xi: objective(xi, st.T),
+                jnp.zeros(6, st.T.t.dtype),
+                max_iterations=max_inner_iterations,
+            )
+            T_new = se3.compose(st.T, se3.exp(res.x))
+            dt, dr = se3.delta_magnitudes(st.T, T_new)
+            converged = (dt < delta_trans_thresh) & (dr < delta_rot_thresh)
+            return Outer(
+                T=T_new,
+                nid=res.value,
+                it=st.it + 1,
+                done=converged,
+                evals=st.evals + res.evaluations,
+            )
+
+        return jax.lax.while_loop(cond, body, init)
 
     init = Outer(
         T=T_init,
@@ -125,7 +155,20 @@ def refine_pose(
         done=jnp.asarray(False),
         evals=jnp.asarray(0, jnp.int32),
     )
-    final = jax.lax.while_loop(cond, body, init)
+    if coarse_outer_iterations > 0 and coarse_stride > 1:
+        coarse = solve_phase(
+            init, _subsample_keyframes(kfs, coarse_stride), coarse_outer_iterations
+        )
+        # Fine phase starts from the coarse pose with a reset iteration /
+        # convergence state (the coarse phase only warms the initial guess).
+        init = Outer(
+            T=coarse.T,
+            nid=init.nid,
+            it=jnp.asarray(0, jnp.int32),
+            done=jnp.asarray(False),
+            evals=coarse.evals,
+        )
+    final = solve_phase(init, kfs, max_outer_iterations)
     return RefineResult(
         T_camera_lidar=final.T,
         nid=final.nid,

@@ -314,6 +314,12 @@ def _process_stages(cfg, camera, filtered_dir, result, timings, metrics):
             )
 
             def run_refine(kfs_in, T0, outer_iters):
+                kw = {}
+                if not cfg.nid.per_keyframe and cfg.nid.coarse_outer_iterations:
+                    kw = dict(
+                        coarse_outer_iterations=cfg.nid.coarse_outer_iterations,
+                        coarse_stride=cfg.nid.coarse_stride,
+                    )
                 return refine_fn(
                     camera,
                     kfs_in,
@@ -325,6 +331,7 @@ def _process_stages(cfg, camera, filtered_dir, result, timings, metrics):
                     delta_rot_thresh=np.radians(cfg.nid.delta_rot_thresh_deg),
                     trust_region_trans=cfg.nid.trust_region_trans,
                     trust_region_rot=np.radians(cfg.nid.trust_region_rot_deg),
+                    **kw,
                 )
 
             if cfg.nid.recull_every_outer_iter:

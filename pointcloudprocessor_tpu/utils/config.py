@@ -142,6 +142,13 @@ class NIDConfig:
     # generalization of per-keyframe manual poses, FrameData.cpp:31-34)
     # instead of the reference's single shared correction.
     per_keyframe: bool = False
+    # Coarse-to-fine schedule (no reference analogue; opt/refine.py): run
+    # the first N outer solves on every coarse_stride-th point (objective
+    # evaluations are gather-bound, so a 4x subsample is ~3-4x cheaper),
+    # then ALWAYS finish at full resolution with identical convergence
+    # criteria. 0 = off (reference-faithful default).
+    coarse_outer_iterations: int = 0
+    coarse_stride: int = 4
     # Pose-graph fusion of the per-keyframe corrections with the VO chain
     # (opt/pose_graph.py): non-converged refinements ride the odometry,
     # converged ones pull the trajectory. Only used with per_keyframe.

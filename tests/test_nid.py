@@ -215,3 +215,71 @@ class TestPallasHistogram:
         il = jnp.ones((n,), jnp.float32)
         h = nid_hist.joint_histogram(taps, s, bp, il, 16)
         np.testing.assert_allclose(float(jnp.sum(h)), n, rtol=1e-5)
+
+
+def test_sort_by_raster_preserves_objective_and_gradient():
+    """opt/nid.sort_by_raster permutes per-keyframe point arrays; the NID
+    objective and its pose gradient are sums over points, so the sorted
+    keyframes must produce the same loss/gradient (f32 summation-order
+    floor). Also: sorted anchors are monotone over the valid prefix."""
+    c = simple_camera()
+    pts, inten, img = nid_scene(c)
+    kf0 = make_keyframe(c, pts, inten, img)
+    kfs = nid.NIDKeyframe(  # batch of 2 identical keyframes
+        points=jnp.stack([kf0.points, kf0.points]),
+        intensity=jnp.stack([kf0.intensity, kf0.intensity]),
+        valid=jnp.stack([kf0.valid, kf0.valid]),
+        bin_image=jnp.stack([kf0.bin_image, kf0.bin_image]),
+    )
+    T = se3.exp(jnp.asarray([0.02, -0.01, 0.005, 0.004, -0.002, 0.003], jnp.float32))
+    kfs_sorted = nid.sort_by_raster(c, se3.identity(), kfs)
+
+    def loss(xi, k):
+        return nid.multi_nid_loss(c, se3.compose(T, se3.exp(xi)),
+                                  nid.prepare_keyframes(k))
+
+    xi = jnp.zeros(6)
+    l0, g0 = jax.value_and_grad(loss)(xi, kfs)
+    l1, g1 = jax.value_and_grad(loss)(xi, kfs_sorted)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-3, atol=1e-7)
+
+    # Monotone anchors at the sort pose for the in-view prefix.
+    from pointcloudprocessor_tpu.models import camera as cam_mod
+    p = np.asarray(kfs_sorted.points[0])
+    uv = np.asarray(cam_mod.project(c, jnp.asarray(p)))
+    ku, kv = np.floor(uv[:, 0]).astype(int), np.floor(uv[:, 1]).astype(int)
+    inb = (ku >= 0) & (ku < c.width) & (kv >= 0) & (kv < c.height) & (p[:, 2] > 0)
+    anchors = kv[inb] * c.width + ku[inb]
+    n_in = int(inb.sum())
+    assert (inb[:n_in]).all(), "in-view points must form a prefix after sort"
+    assert (np.diff(anchors) >= 0).all(), "anchors must be raster-monotone"
+
+
+def test_refine_coarse_to_fine_matches_full():
+    """Coarse-to-fine schedule (opt/refine.py, no reference analogue): with
+    early outer solves on a 4x point subsample and the final solves at full
+    resolution, the solve must recover the perturbation to the same
+    convergence thresholds, and the final NID must be as deep as the
+    all-full-resolution solve within the plateau tolerance (objective-level
+    comparison per CLAUDE.md — never tight pose-space deltas)."""
+    c = simple_camera()
+    pts, inten, img = nid_scene(c)
+    kf = make_keyframe(c, pts, inten, img)
+    kfs = nid.NIDKeyframe(
+        points=kf.points[None],
+        intensity=kf.intensity[None],
+        valid=kf.valid[None],
+        bin_image=kf.bin_image[None],
+    )
+    xi = jnp.asarray([0.02, -0.015, 0.01, 0.006, -0.004, 0.008], jnp.float32)
+    T0 = se3.exp(xi)
+    full = refine.refine_pose(
+        c, kfs, T0, max_inner_iterations=60, max_outer_iterations=5)
+    c2f = refine.refine_pose(
+        c, kfs, T0, max_inner_iterations=60, max_outer_iterations=4,
+        coarse_outer_iterations=2, coarse_stride=4)
+    dt, dr = se3.delta_magnitudes(c2f.T_camera_lidar, se3.identity())
+    assert float(dt) < 0.01, f"translation error {float(dt)}"
+    assert float(dr) < 0.017453, f"rotation error {float(dr)}"
+    assert float(c2f.nid) < float(full.nid) + 1e-3, (float(c2f.nid), float(full.nid))
