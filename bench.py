@@ -229,6 +229,32 @@ def bench_tpu(width, height, n_map, n_cull, k, inner_iters, outer_iters,
             coarse_stride=4,
         )
 
+    def refine_step_frozen():
+        # Guarded frozen-tap gather (opt/nid.TapCache): reference-faithful
+        # schedule, but evaluations reuse the tap gather until anchors
+        # drift. Reported NID is a fresh exact evaluation at the final pose.
+        return refine.refine_pose(
+            camera,
+            kfs,
+            T0,
+            max_inner_iterations=inner_iters,
+            max_outer_iterations=outer_iters,
+            frozen_taps=True,
+        )
+
+    def refine_step_frozen_c2f():
+        # Both optimizations stacked: coarse warm start + frozen gathers.
+        return refine.refine_pose(
+            camera,
+            kfs,
+            T0,
+            max_inner_iterations=inner_iters,
+            max_outer_iterations=max(outer_iters - 1, 1),
+            coarse_outer_iterations=1,
+            coarse_stride=4,
+            frozen_taps=True,
+        )
+
     # Warm-up (compile), then time TWICE (tunnel noise).
     r = refine_step()
     r.T_camera_lidar.t.block_until_ready()
@@ -249,17 +275,28 @@ def bench_tpu(width, height, n_map, n_cull, k, inner_iters, outer_iters,
         t_colorize = time.perf_counter() - t0
         runs.append((k / (t_refine + t_colorize), t_refine, t_colorize))
 
-    c2f = (0.0, float("nan"))
+    extras = {}
     if not friendly:
-        rc = refine_step_c2f()
-        rc.T_camera_lidar.t.block_until_ready()
-        print("# c2f refine compiled", file=sys.stderr)
-        t0 = time.perf_counter()
-        rc = refine_step_c2f()
-        rc.T_camera_lidar.t.block_until_ready()
-        t_refine_c2f = time.perf_counter() - t0
-        c2f = (k / (t_refine_c2f + runs[-1][2]), float(rc.nid))
-    return runs, float(r.nid), int(fz.colored.sum()), c2f
+        t_col = runs[-1][2]
+        for name, step in (
+            ("c2f", refine_step_c2f),
+            ("frozen", refine_step_frozen),
+            ("frozen_c2f", refine_step_frozen_c2f),
+        ):
+            rv = step()
+            rv.T_camera_lidar.t.block_until_ready()
+            print(f"# {name} refine compiled", file=sys.stderr)
+            t0 = time.perf_counter()
+            rv = step()
+            rv.T_camera_lidar.t.block_until_ready()
+            t_refine_v = time.perf_counter() - t0
+            extras[name] = {
+                "frames_per_s": k / (t_refine_v + t_col),
+                "nid": float(rv.nid),
+                "evaluations": int(rv.evaluations),
+                "gathers": int(rv.gathers),
+            }
+    return runs, float(r.nid), int(fz.colored.sum()), extras
 
 
 def _mls_scene(n_points, seed=1):
@@ -517,10 +554,12 @@ def main():
         n_mls, n_hpr = 1_000_000, 262_144
     inner_iters, outer_iters = 10, 2
 
-    runs, nid_val, colored, (fps_c2f, nid_c2f) = bench_tpu(
+    runs, nid_val, colored, extras = bench_tpu(
         width, height, n_map, n_cull, k, inner_iters, outer_iters
     )
     (fps1, tr1, tc1), (fps2, t_ref, t_col) = runs
+    fps_c2f, nid_c2f = extras["c2f"]["frames_per_s"], extras["c2f"]["nid"]
+    frz, frz_c2f = extras["frozen"], extras["frozen_c2f"]
     runs_f, nid_f, _, _ = bench_tpu(
         width, height, n_map, n_cull, k, inner_iters, outer_iters, friendly=True
     )
@@ -544,6 +583,9 @@ def main():
         f"run2: {fps2:.2f} frames/s (refine {t_ref:.3f}s colorize {t_col:.3f}s) | "
         f"nid {nid_val:.4f} colored {colored} | "
         f"c2f {fps_c2f:.2f} frames/s (nid {nid_c2f:.4f}) | "
+        f"frozen {frz['frames_per_s']:.2f} frames/s (nid {frz['nid']:.4f}, "
+        f"{frz['gathers']}/{frz['evaluations']} gathers/evals) | "
+        f"frozen+c2f {frz_c2f['frames_per_s']:.2f} frames/s (nid {frz_c2f['nid']:.4f}) | "
         f"friendly {runs_f[0][0]:.2f}/{fps_friendly:.2f} frames/s (nid {nid_f:.4f}) | "
         f"mls {mls_runs[0] / 1e6:.2f}/{mls_runs[1] / 1e6:.2f} Mpts/s "
         f"(cpu-1t {mls_cpu_pps / 1e6:.4f} -> {mls_ratio:.0f}x, 30-thread-ideal {mls_ratio / 30:.1f}x) | "
@@ -562,6 +604,12 @@ def main():
                 "run1_frames_per_s": round(fps1, 3),
                 "c2f_frames_per_s": round(fps_c2f, 3),
                 "c2f_nid": round(nid_c2f, 4),
+                "frozen_frames_per_s": round(frz["frames_per_s"], 3),
+                "frozen_nid": round(frz["nid"], 4),
+                "frozen_gathers": frz["gathers"],
+                "frozen_evaluations": frz["evaluations"],
+                "frozen_c2f_frames_per_s": round(frz_c2f["frames_per_s"], 3),
+                "frozen_c2f_nid": round(frz_c2f["nid"], 4),
                 "hardened_nid": round(nid_val, 4),
                 "friendly_frames_per_s": round(fps_friendly, 3),
                 "mls_mpts_per_s": round(mls_runs[1] / 1e6, 3),

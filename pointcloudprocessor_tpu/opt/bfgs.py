@@ -39,12 +39,48 @@ def minimize(
     max_backtracks: int = 25,
 ) -> BFGSResult:
     """Minimize ``f`` from ``x0`` (1-D vector). Fully traceable."""
+    vg = jax.value_and_grad(f)
+
+    def vg_c(x, cache):
+        v, g = vg(x)
+        return v, g, cache
+
+    res, _ = minimize_cached(
+        vg_c,
+        x0,
+        (),
+        max_iterations=max_iterations,
+        grad_tol=grad_tol,
+        step_tol=step_tol,
+        armijo_c1=armijo_c1,
+        max_backtracks=max_backtracks,
+    )
+    return res
+
+
+def minimize_cached(
+    vg_c: Callable,
+    x0: jnp.ndarray,
+    cache0,
+    max_iterations: int = 64,
+    grad_tol: float = 1e-6,
+    step_tol: float = 1e-10,
+    armijo_c1: float = 1e-4,
+    max_backtracks: int = 25,
+):
+    """BFGS over an objective with a carried evaluation cache.
+
+    ``vg_c(x, cache) -> (value, grad, cache')`` may mutate its cache on any
+    evaluation (e.g. the frozen-tap NID gather, `opt/nid.TapCache`: probes
+    reuse the last gather until anchors drift). The cache threads through
+    the line search and iteration loops and the final cache is returned —
+    ``minimize`` is this with an empty cache. Returns (BFGSResult, cache).
+    """
     d = x0.shape[0]
     dtype = x0.dtype
     eye = jnp.eye(d, dtype=dtype)
-    vg = jax.value_and_grad(f)
 
-    def line_search(x, direction, val, g, alpha0):
+    def line_search(x, direction, val, g, alpha0, cache):
         """Backtracking Armijo; also backtracks out of +inf (rejected)
         regions. Every probe evaluates value AND gradient in one pass —
         for reduction-dominated objectives (the NID sum) the gradient adds
@@ -58,11 +94,11 @@ def minimize(
             return jnp.isfinite(new_val) & (new_val <= val + armijo_c1 * alpha * dg)
 
         def cond(state):
-            alpha, new_val, _, it = state
+            alpha, new_val, _, it, _ = state
             return ~accepted(alpha, new_val) & (it < max_backtracks)
 
         def body(state):
-            alpha, rej_val, _, it = state
+            alpha, rej_val, _, it, cache = state
             # Quadratic interpolation through f(0)=val, f'(0)=dg and the
             # rejected probe f(alpha)=rej_val: the model minimizer is
             # -dg a^2 / (2 (f(a) - f(0) - dg a)). Each rejected probe costs a
@@ -78,12 +114,12 @@ def minimize(
                 jnp.clip(interp, 0.1 * alpha, 0.5 * alpha),
                 alpha * 0.5,
             )
-            new_val, new_g = vg(x + a * direction)
-            return (a, new_val, new_g, it + 1)
+            new_val, new_g, cache = vg_c(x + a * direction, cache)
+            return (a, new_val, new_g, it + 1, cache)
 
-        v0, g0 = vg(x + alpha0 * direction)
-        alpha, new_val, new_g, it = jax.lax.while_loop(
-            cond, body, (alpha0, v0, g0, 0)
+        v0, g0, cache = vg_c(x + alpha0 * direction, cache)
+        alpha, new_val, new_g, it, cache = jax.lax.while_loop(
+            cond, body, (alpha0, v0, g0, 0, cache)
         )
         ok = accepted(alpha, new_val)
         return (
@@ -91,6 +127,7 @@ def minimize(
             jnp.where(ok, new_val, val),
             jnp.where(ok, new_g, g),
             it + 1,  # total probes = backtracks + the alpha0 evaluation
+            cache,
         )
 
     class State(NamedTuple):
@@ -102,8 +139,9 @@ def minimize(
         done: jnp.ndarray
         prev_alpha: jnp.ndarray  # accepted step size of the last iteration
         evals: jnp.ndarray  # cumulative value_and_grad calls
+        cache: object  # objective evaluation cache (any pytree)
 
-    val0, g0 = vg(x0)
+    val0, g0, cache0 = vg_c(x0, cache0)
     s0 = State(
         x0,
         val0,
@@ -113,6 +151,7 @@ def minimize(
         jnp.linalg.norm(g0) < grad_tol,
         jnp.asarray(1.0, dtype),
         jnp.asarray(1, jnp.int32),
+        cache0,
     )
 
     def cond(st: State):
@@ -136,7 +175,9 @@ def minimize(
             jnp.minimum(1.0, 1.0 / (jnp.linalg.norm(st.g) + 1e-12)).astype(dtype),
             jnp.clip(1.5 * st.prev_alpha, 1.0 / 16.0, 1.0).astype(dtype),
         )
-        alpha, val_new, g_new, probes = line_search(st.x, direction, st.val, st.g, alpha0)
+        alpha, val_new, g_new, probes, cache = line_search(
+            st.x, direction, st.val, st.g, alpha0, st.cache
+        )
         step = alpha * direction
         x_new = st.x + step
 
@@ -170,14 +211,18 @@ def minimize(
             done=done,
             prev_alpha=jnp.where(stalled, st.prev_alpha, alpha),
             evals=st.evals + probes,
+            cache=cache,  # a rejected probe's refresh is still a valid memo
         )
 
     final = jax.lax.while_loop(cond, body, s0)
-    return BFGSResult(
-        x=final.x,
-        value=final.val,
-        grad_norm=jnp.linalg.norm(final.g),
-        iterations=final.it,
-        converged=final.done,
-        evaluations=final.evals,
+    return (
+        BFGSResult(
+            x=final.x,
+            value=final.val,
+            grad_norm=jnp.linalg.norm(final.g),
+            iterations=final.it,
+            converged=final.done,
+            evaluations=final.evals,
+        ),
+        final.cache,
     )

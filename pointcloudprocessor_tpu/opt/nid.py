@@ -185,6 +185,62 @@ def _use_pallas_default() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+def _histograms_from_taps(
+    taps: jnp.ndarray,  # (N, 2) int32 nibble-packed window rows
+    s: jnp.ndarray,  # (N, 2) fractional offsets (pose-differentiable)
+    bin_pts: jnp.ndarray,  # (N,) int32
+    inlier_f: jnp.ndarray,  # (N,) float 0/1 (stop-gradiented by callers)
+    bins: int,
+    use_pallas: bool | None,
+):
+    """Post-gather half of :func:`nid_histograms`: joint/marginal histograms
+    from already-fetched tap rows. Shared by the direct path and the
+    frozen-tap cached objective (:func:`multi_nid_loss_cached`)."""
+    inlier_f = jax.lax.stop_gradient(inlier_f)
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+    if use_pallas:
+        from ..ops import nid_hist
+
+        hist_joint = nid_hist.joint_histogram(taps, s, bin_pts, inlier_f, bins)
+        hist_points = jnp.sum(
+            jax.nn.one_hot(bin_pts, bins, dtype=s.dtype) * inlier_f[:, None],
+            axis=0,
+        )
+        # Image marginal = per-point-bin sums of the joint; differentiating
+        # through the joint keeps its pose gradient exact.
+        hist_image = jnp.sum(hist_joint, axis=0)
+        num = jnp.sum(inlier_f)
+        return hist_joint, hist_image, hist_points, num
+
+    bx = spline_weights(s[:, 0])  # (N, 4)
+    by = spline_weights(s[:, 1])  # (N, 4)
+    b_img = unpack_tap_nibbles(taps)  # (N, 16)
+
+    # Weights in matching (dy, dx) order.
+    w = (by[:, :, None] * bx[:, None, :]).reshape(-1, 16) * inlier_f[:, None]  # (N, 16)
+
+    # Per-point image-bin mass: accumulate the 16 taps into `bins` buckets.
+    # Unrolled over taps: each step is an (N, bins) masked add, fusable by XLA.
+    w_img = jnp.zeros((w.shape[0], bins), w.dtype)
+    for k in range(16):
+        w_img = w_img + w[:, k:k + 1] * jax.nn.one_hot(b_img[:, k], bins, dtype=w.dtype)
+
+    P = jax.nn.one_hot(bin_pts, bins, dtype=w.dtype) * inlier_f[:, None]  # (N, bins)
+    P = jax.lax.stop_gradient(P)  # hist_points is pose-independent (hpp:49)
+
+    # HIGHEST precision: the TPU default decomposes f32 matmuls into bf16
+    # passes, which perturbs the NID by ~1% (verified against f64).
+    hist_joint = jnp.einsum(
+        "nb,nc->cb", P, w_img, precision=jax.lax.Precision.HIGHEST
+    )  # (bins_img, bins_pts)^T layout
+    # NB: orientation does not matter for the entropy sums below.
+    hist_points = jnp.sum(P, axis=0)
+    hist_image = jnp.sum(w_img, axis=0)
+    num = jnp.sum(jax.lax.stop_gradient(inlier_f))
+    return hist_joint, hist_image, hist_points, num
+
+
 def nid_histograms(
     camera: cam.PinholeCamera,
     T_camera_lidar: se3.SE3,
@@ -215,9 +271,6 @@ def nid_histograms(
     )
     inlier_f = inlier.astype(proj.dtype)
 
-    bx = spline_weights(s[:, 0])  # (N, 4)
-    by = spline_weights(s[:, 1])  # (N, 4)
-
     # 16-tap fetch, ONE row gather per point: each tap-table row holds the
     # whole 4x4 window in (dy, dx) order (TPU gather costs per row fetched,
     # not per element — ~7x over 16 scalar gathers).
@@ -227,51 +280,145 @@ def nid_histograms(
         + jnp.clip(knot[:, 0], 0, w_img_px - 1)
     )
     bin_pts = jnp.clip((kf.intensity * bins).astype(jnp.int32), 0, bins - 1)
+    taps = jnp.take(tap_rows, anchor, axis=0)  # (N, 2) int32 packed
+    return _histograms_from_taps(taps, s, bin_pts, inlier_f, bins, use_pallas)
 
-    if use_pallas is None:
-        use_pallas = _use_pallas_default()
-    if use_pallas:
-        from ..ops import nid_hist
 
-        taps = jnp.take(tap_rows, anchor, axis=0)  # (N, 2) int32 packed
-        hist_joint = nid_hist.joint_histogram(
-            taps, s, bin_pts, jax.lax.stop_gradient(inlier_f), bins
+class TapCache(NamedTuple):
+    """Frozen gather state for the cached NID objective.
+
+    The tap-table row gather is ~70% of an objective evaluation's device
+    time (README "NID kernel cost anatomy": ~20-22 ms of 28.5 ms at 8x262k
+    points, XLA gather-emitter issue overhead, ~10 ns/row), but its input —
+    each point's anchor pixel, ``floor(project(T, p))`` — moves SUB-PIXEL
+    between most solver evaluations: line-search probes and converged-phase
+    BFGS steps shift the projection by fractions of a pixel, leaving the
+    4x4 spline window of almost every point unchanged. The cache therefore
+    holds the most recent gathered taps plus the knots/inlier gate they
+    were gathered at; :func:`multi_nid_loss_cached` reuses them until
+    anchors measurably drift, then re-gathers (one `lax.cond`).
+
+    No reference analogue — the reference re-reads image values per point
+    per evaluation inside Ceres (`nid_cost.hpp:78-92`). See
+    `opt/refine.refine_pose(frozen_taps=...)` for the accuracy contract.
+    """
+
+    taps: jnp.ndarray  # (K, N, 2) int32 nibble-packed window rows
+    knot: jnp.ndarray  # (K, N, 2) int32 anchor knots at gather time
+    inlier: jnp.ndarray  # (K, N) float 0/1 gate at gather time
+    refreshes: jnp.ndarray  # () int32 fresh-gather count (diagnostics)
+
+
+def _project_all(camera: cam.PinholeCamera, T: se3.SE3, kfs: NIDKeyframe):
+    """Batched projection over keyframes: (proj (K,N,2), knot (K,N,2) int32,
+    inlier (K,N) bool). Same gates as :func:`nid_histograms`."""
+
+    def one(points, valid):
+        pts_cam = se3.transform_points(T, points)
+        proj = cam.project(camera, pts_cam)
+        knot = jnp.floor(jax.lax.stop_gradient(proj)).astype(jnp.int32)
+        inl = (
+            valid
+            & (knot[:, 0] >= 0)
+            & (knot[:, 0] < camera.width)
+            & (knot[:, 1] >= 0)
+            & (knot[:, 1] < camera.height)
+            & (jax.lax.stop_gradient(pts_cam[:, 2]) > 0)
         )
-        hist_points = jnp.sum(
-            jax.nn.one_hot(bin_pts, bins, dtype=s.dtype)
-            * jax.lax.stop_gradient(inlier_f)[:, None],
-            axis=0,
+        return proj, knot, inl
+
+    return jax.vmap(one)(kfs.points, kfs.valid)
+
+
+def _gather_taps(camera: cam.PinholeCamera, kfs: NIDKeyframe, knot: jnp.ndarray):
+    """(K, N, 2) knots -> (K, N, 2) packed tap rows (the expensive gather)."""
+    anchor = jnp.clip(knot[..., 1], 0, camera.height - 1) * camera.width + jnp.clip(
+        knot[..., 0], 0, camera.width - 1
+    )
+    return jax.vmap(lambda rows, a: jnp.take(rows, a, axis=0))(kfs.tap_rows, anchor)
+
+
+def make_tap_cache(
+    camera: cam.PinholeCamera, T_camera_lidar: se3.SE3, kfs: NIDKeyframe
+) -> TapCache:
+    """Fresh gather at ``T_camera_lidar`` (kfs must carry tap_rows —
+    see :func:`prepare_keyframes`)."""
+    proj, knot, inl = _project_all(camera, T_camera_lidar, kfs)
+    taps = _gather_taps(camera, kfs, knot)
+    return TapCache(taps, knot, inl.astype(proj.dtype), jnp.asarray(1, jnp.int32))
+
+
+def multi_nid_loss_cached(
+    camera: cam.PinholeCamera,
+    T_camera_lidar: se3.SE3,
+    kfs: NIDKeyframe,
+    cache: TapCache,
+    bins: int = 16,
+    guard_frac: float = 0.25,
+    allow_refresh=True,
+    use_pallas: bool | None = None,
+):
+    """Sum of per-keyframe NIDs with a guarded frozen-tap gather.
+
+    Returns ``(loss, cache')``. Semantics: identical to
+    :func:`multi_nid_loss` whenever the gather is fresh (anchor knots match
+    the current pose); between refreshes, points whose anchor drifted by a
+    pixel evaluate the PREVIOUS window's cubic extended one knot past its
+    span — measured on the synthetic wall scene, a uniform 0.5 px drift
+    (47% of points on a new anchor) perturbs the summed NID by ~9e-5 with
+    gradient cosine 1.0000, and even a full 1 px drift stays at ~5e-5; at
+    >= 2 px the extrapolation produces negative histogram mass and the NID
+    degrades sharply. The guard therefore re-gathers as soon as more than
+    ``guard_frac`` of live points drift >= 1 px (fidelity cap) or more than
+    0.1% drift >= 2 px (hard validity cap), and ``s`` is clipped to
+    [-1.5, 2.5] so the rare not-yet-refreshed far point cannot poison the
+    histogram with unbounded weights.
+
+    ``allow_refresh`` (traced bool) suppresses the refresh for evaluations
+    whose result is discarded anyway (trust-region rejections).
+    """
+    assert kfs.tap_rows is not None, "call prepare_keyframes first"
+    proj, knot_true, inl_true = _project_all(camera, T_camera_lidar, kfs)
+
+    # Anchor drift vs the cache, measured over points live under either
+    # gate. f32 on purpose: behind-camera knots can be ~1e9 and int32
+    # differences would overflow; those points are masked by `care` but the
+    # arithmetic still runs.
+    shift = jnp.max(
+        jnp.abs(knot_true.astype(jnp.float32) - cache.knot.astype(jnp.float32)),
+        axis=-1,
+    )  # (K, N)
+    care = inl_true | (cache.inlier > 0)
+    n_care = jnp.maximum(jnp.sum(care), 1).astype(jnp.float32)
+    frac1 = jnp.sum((shift >= 1.0) & care) / n_care
+    frac2 = jnp.sum((shift >= 2.0) & care) / n_care
+    stale = ((frac1 > guard_frac) | (frac2 > 0.001)) & allow_refresh
+
+    def fresh(c: TapCache) -> TapCache:
+        return TapCache(
+            _gather_taps(camera, kfs, knot_true),
+            knot_true,
+            inl_true.astype(proj.dtype),
+            c.refreshes + 1,
         )
-        # Image marginal = per-point-bin sums of the joint; differentiating
-        # through the joint keeps its pose gradient exact.
-        hist_image = jnp.sum(hist_joint, axis=0)
-        num = jnp.sum(jax.lax.stop_gradient(inlier_f))
-        return hist_joint, hist_image, hist_points, num
 
-    b_img = unpack_tap_nibbles(jnp.take(tap_rows, anchor, axis=0))  # (N, 16)
+    cache = jax.lax.cond(stale, fresh, lambda c: c, cache)
 
-    # Weights in matching (dy, dx) order.
-    w = (by[:, :, None] * bx[:, None, :]).reshape(-1, 16) * inlier_f[:, None]  # (N, 16)
+    # Clip keeps the few not-yet-refreshed far points' weights bounded (the
+    # clip boundary is outside everything the guard lets through, so live
+    # gradients are unaffected).
+    s = jnp.clip(
+        proj - jax.lax.stop_gradient(cache.knot).astype(proj.dtype), -1.5, 2.5
+    )  # (K, N, 2)
 
-    # Per-point image-bin mass: accumulate the 16 taps into `bins` buckets.
-    # Unrolled over taps: each step is an (N, bins) masked add, fusable by XLA.
-    w_img = jnp.zeros((w.shape[0], bins), w.dtype)
-    for k in range(16):
-        w_img = w_img + w[:, k:k + 1] * jax.nn.one_hot(b_img[:, k], bins, dtype=w.dtype)
+    def one(taps, s1, inten, inl_f):
+        bin_pts = jnp.clip((inten * bins).astype(jnp.int32), 0, bins - 1)
+        return nid_from_histograms(
+            *_histograms_from_taps(taps, s1, bin_pts, inl_f, bins, use_pallas)
+        )
 
-    P = jax.nn.one_hot(bin_pts, bins, dtype=w.dtype) * inlier_f[:, None]  # (N, bins)
-    P = jax.lax.stop_gradient(P)  # hist_points is pose-independent (hpp:49)
-
-    # HIGHEST precision: the TPU default decomposes f32 matmuls into bf16
-    # passes, which perturbs the NID by ~1% (verified against f64).
-    hist_joint = jnp.einsum(
-        "nb,nc->cb", P, w_img, precision=jax.lax.Precision.HIGHEST
-    )  # (bins_img, bins_pts)^T layout
-    # NB: orientation does not matter for the entropy sums below.
-    hist_points = jnp.sum(P, axis=0)
-    hist_image = jnp.sum(w_img, axis=0)
-    num = jnp.sum(jax.lax.stop_gradient(inlier_f))
-    return hist_joint, hist_image, hist_points, num
+    losses = jax.vmap(one)(cache.taps, s, kfs.intensity, cache.inlier)
+    return jnp.sum(losses), cache
 
 
 def nid_from_histograms(hist_joint, hist_image, hist_points, num):

@@ -41,6 +41,8 @@ class RefineResult(NamedTuple):
     outer_iterations: jnp.ndarray
     converged: jnp.ndarray
     evaluations: jnp.ndarray  # total objective (value+grad) evaluations
+    gathers: jnp.ndarray = 0  # tap-table gathers (frozen_taps mode only;
+    # without frozen taps every evaluation gathers, reported as 0 here)
 
 
 def _guarded_objective(camera, kfs, bins, trust_trans, trust_rot, loss_fn):
@@ -79,6 +81,8 @@ def _subsample_keyframes(kfs: NIDKeyframe, stride: int) -> NIDKeyframe:
         "loss_fn",
         "coarse_outer_iterations",
         "coarse_stride",
+        "frozen_taps",
+        "frozen_guard_frac",
     ),
 )
 def refine_pose(
@@ -96,6 +100,8 @@ def refine_pose(
     loss_fn=multi_nid_loss,
     coarse_outer_iterations: int = 0,
     coarse_stride: int = 4,
+    frozen_taps: bool = False,
+    frozen_guard_frac: float = 0.25,
 ) -> RefineResult:
     """Optimize the shared camera<-lidar correction transform over keyframes.
 
@@ -108,11 +114,28 @@ def refine_pose(
     resolution with identical convergence criteria, so the returned pose
     minimizes the exact full-resolution objective. The NID plateau
     (CLAUDE.md) means coarse iterations only need to reach the basin.
+
+    ``frozen_taps`` enables the guarded frozen-gather objective
+    (`opt/nid.multi_nid_loss_cached`, no reference analogue): the tap-table
+    row gather — ~70% of an evaluation's device time — is reused across
+    evaluations whose anchor pixels haven't drifted (line-search probes and
+    near-convergence steps move projections sub-pixel), and re-gathered as
+    soon as more than ``frozen_guard_frac`` of live points drift >= 1 px or
+    any meaningful mass drifts >= 2 px (see `multi_nid_loss_cached` for the
+    measured error bounds behind the thresholds).
+    Accuracy contract: the solve descends a surrogate that coincides with
+    the exact objective at every refresh and drifts by a guard-bounded
+    extrapolation in between; the returned ``nid`` is always a FRESH
+    full-resolution evaluation at the final pose, and tests assert the
+    frozen solve reaches an objective value at parity with the exact solve
+    (tests/test_nid.py).
     """
     if loss_fn is multi_nid_loss:
         # Pose-independent tap tables: built once here, reused by every
         # objective evaluation inside the solver loops.
         kfs = _nid.prepare_keyframes(kfs)
+    else:
+        assert not frozen_taps, "frozen_taps requires the NID loss"
 
     class Outer(NamedTuple):
         T: se3.SE3
@@ -120,6 +143,7 @@ def refine_pose(
         it: jnp.ndarray
         done: jnp.ndarray
         evals: jnp.ndarray
+        gathers: jnp.ndarray
 
     def solve_phase(init: Outer, phase_kfs, max_iters) -> Outer:
         objective = _guarded_objective(
@@ -129,22 +153,75 @@ def refine_pose(
         def cond(st: Outer):
             return (~st.done) & (st.it < max_iters)
 
-        def body(st: Outer):
-            res = bfgs.minimize(
-                lambda xi: objective(xi, st.T),
-                jnp.zeros(6, st.T.t.dtype),
-                max_iterations=max_inner_iterations,
-            )
-            T_new = se3.compose(st.T, se3.exp(res.x))
-            dt, dr = se3.delta_magnitudes(st.T, T_new)
-            converged = (dt < delta_trans_thresh) & (dr < delta_rot_thresh)
-            return Outer(
-                T=T_new,
-                nid=res.value,
-                it=st.it + 1,
-                done=converged,
-                evals=st.evals + res.evaluations,
-            )
+        if frozen_taps:
+
+            def guarded_cached(xi, T_init_, cache):
+                T = se3.compose(T_init_, se3.exp(xi))
+                trans = jnp.linalg.norm(se3.exp(xi).t)
+                rot = jnp.linalg.norm(xi[3:])
+                outside = (trans > trust_region_trans) | (rot > trust_region_rot)
+                loss, cache = _nid.multi_nid_loss_cached(
+                    camera,
+                    T,
+                    phase_kfs,
+                    cache,
+                    bins,
+                    guard_frac=frozen_guard_frac,
+                    # A rejected iterate's gather would be wasted work.
+                    allow_refresh=~outside,
+                )
+                big = jnp.asarray(jnp.inf, loss.dtype)
+                return jnp.where(outside, big, loss), cache
+
+            def body(st: Outer):
+                cache = _nid.make_tap_cache(camera, st.T, phase_kfs)
+                base_refreshes = cache.refreshes
+
+                def vg_c(xi, c):
+                    (v, c2), g = jax.value_and_grad(
+                        lambda x, cc: guarded_cached(x, st.T, cc), has_aux=True
+                    )(xi, c)
+                    return v, g, c2
+
+                res, cache = bfgs.minimize_cached(
+                    vg_c,
+                    jnp.zeros(6, st.T.t.dtype),
+                    cache,
+                    max_iterations=max_inner_iterations,
+                )
+                T_new = se3.compose(st.T, se3.exp(res.x))
+                dt, dr = se3.delta_magnitudes(st.T, T_new)
+                converged = (dt < delta_trans_thresh) & (dr < delta_rot_thresh)
+                return Outer(
+                    T=T_new,
+                    nid=res.value,
+                    it=st.it + 1,
+                    done=converged,
+                    evals=st.evals + res.evaluations,
+                    gathers=st.gathers
+                    + (cache.refreshes - base_refreshes)
+                    + jnp.asarray(1, jnp.int32),
+                )
+
+        else:
+
+            def body(st: Outer):
+                res = bfgs.minimize(
+                    lambda xi: objective(xi, st.T),
+                    jnp.zeros(6, st.T.t.dtype),
+                    max_iterations=max_inner_iterations,
+                )
+                T_new = se3.compose(st.T, se3.exp(res.x))
+                dt, dr = se3.delta_magnitudes(st.T, T_new)
+                converged = (dt < delta_trans_thresh) & (dr < delta_rot_thresh)
+                return Outer(
+                    T=T_new,
+                    nid=res.value,
+                    it=st.it + 1,
+                    done=converged,
+                    evals=st.evals + res.evaluations,
+                    gathers=st.gathers,
+                )
 
         return jax.lax.while_loop(cond, body, init)
 
@@ -154,6 +231,7 @@ def refine_pose(
         it=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
         evals=jnp.asarray(0, jnp.int32),
+        gathers=jnp.asarray(0, jnp.int32),
     )
     if coarse_outer_iterations > 0 and coarse_stride > 1:
         coarse = solve_phase(
@@ -167,14 +245,21 @@ def refine_pose(
             it=jnp.asarray(0, jnp.int32),
             done=jnp.asarray(False),
             evals=coarse.evals,
+            gathers=coarse.gathers,
         )
     final = solve_phase(init, kfs, max_outer_iterations)
+    nid_final = final.nid
+    if frozen_taps:
+        # Report the EXACT full-resolution objective at the final pose, not
+        # the last surrogate value (one extra forward evaluation).
+        nid_final = loss_fn(camera, final.T, kfs, bins)
     return RefineResult(
         T_camera_lidar=final.T,
-        nid=final.nid,
+        nid=nid_final,
         outer_iterations=final.it,
         converged=final.done,
         evaluations=final.evals,
+        gathers=final.gathers,
     )
 
 

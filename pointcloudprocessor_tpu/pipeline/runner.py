@@ -320,6 +320,11 @@ def _process_stages(cfg, camera, filtered_dir, result, timings, metrics):
                         coarse_outer_iterations=cfg.nid.coarse_outer_iterations,
                         coarse_stride=cfg.nid.coarse_stride,
                     )
+                if not cfg.nid.per_keyframe and cfg.nid.frozen_taps:
+                    kw.update(
+                        frozen_taps=True,
+                        frozen_guard_frac=cfg.nid.frozen_guard_frac,
+                    )
                 return refine_fn(
                     camera,
                     kfs_in,

@@ -149,6 +149,16 @@ class NIDConfig:
     # criteria. 0 = off (reference-faithful default).
     coarse_outer_iterations: int = 0
     coarse_stride: int = 4
+    # Guarded frozen-tap gather (no reference analogue; opt/nid.TapCache):
+    # reuse the tap-table row gather — ~70% of an objective evaluation —
+    # across evaluations whose anchor pixels haven't drifted, re-gathering
+    # once >frozen_guard_frac of live points move >=1 px (or >0.1% move
+    # >=2 px — measured error at the default guard is ~1e-4 NID, gradient
+    # cosine 1.0000; see opt/nid.multi_nid_loss_cached). The solve descends
+    # a guard-bounded surrogate; the reported NID is always a fresh exact
+    # evaluation. False = reference-faithful (gather every evaluation).
+    frozen_taps: bool = False
+    frozen_guard_frac: float = 0.25
     # Pose-graph fusion of the per-keyframe corrections with the VO chain
     # (opt/pose_graph.py): non-converged refinements ride the odometry,
     # converged ones pull the trajectory. Only used with per_keyframe.

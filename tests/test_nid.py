@@ -283,3 +283,100 @@ def test_refine_coarse_to_fine_matches_full():
     assert float(dt) < 0.01, f"translation error {float(dt)}"
     assert float(dr) < 0.017453, f"rotation error {float(dr)}"
     assert float(c2f.nid) < float(full.nid) + 1e-3, (float(c2f.nid), float(full.nid))
+
+
+def _single_kf_batch(c):
+    pts, inten, img = nid_scene(c)
+    kf = make_keyframe(c, pts, inten, img)
+    return nid.prepare_keyframes(nid.NIDKeyframe(
+        points=kf.points[None],
+        intensity=kf.intensity[None],
+        valid=kf.valid[None],
+        bin_image=kf.bin_image[None],
+    ))
+
+
+def test_frozen_taps_exact_at_gather_pose():
+    """multi_nid_loss_cached with a cache gathered at the SAME pose must be
+    bit-identical to multi_nid_loss (value and gradient): the frozen taps,
+    knots and inlier gate are exactly what the direct path would compute."""
+    c = simple_camera()
+    kfs = _single_kf_batch(c)
+    T0 = se3.exp(jnp.asarray([0.02, -0.01, 0.01, 0.004, -0.002, 0.004], jnp.float32))
+    cache = nid.make_tap_cache(c, T0, kfs)
+
+    l_fresh, g_fresh = jax.value_and_grad(
+        lambda xi: nid.multi_nid_loss(c, se3.compose(T0, se3.exp(xi)), kfs)
+    )(jnp.zeros(6, jnp.float32))
+
+    def frozen(xi, cache):
+        loss, cache2 = nid.multi_nid_loss_cached(
+            c, se3.compose(T0, se3.exp(xi)), kfs, cache
+        )
+        return loss, cache2
+
+    (l_frz, cache2), g_frz = jax.value_and_grad(frozen, has_aux=True)(
+        jnp.zeros(6, jnp.float32), cache
+    )
+    assert float(l_frz) == float(l_fresh)
+    np.testing.assert_array_equal(np.asarray(g_frz), np.asarray(g_fresh))
+    assert int(cache2.refreshes) == 1  # no re-gather at the gather pose
+
+
+def test_frozen_taps_subpixel_step_stays_frozen_and_close():
+    """A sub-pixel pose step must NOT trigger a re-gather, and the frozen
+    value must track the exact objective closely (the extrapolation error of
+    the few boundary-crossing points is far below the NID's meaningful
+    scale)."""
+    c = simple_camera()
+    kfs = _single_kf_batch(c)
+    T0 = se3.exp(jnp.asarray([0.02, -0.01, 0.01, 0.004, -0.002, 0.004], jnp.float32))
+    cache = nid.make_tap_cache(c, T0, kfs)
+    # ~0.1 px of image motion at the test camera's focal length.
+    fx = float(c.intrinsic[0])
+    wall_z = 5.0
+    xi = jnp.asarray([0.1 * wall_z / fx, 0.0, 0.0, 0.0, 0.0, 0.0], jnp.float32)
+    T1 = se3.compose(T0, se3.exp(xi))
+    l_frz, cache2 = nid.multi_nid_loss_cached(c, T1, kfs, cache)
+    l_fresh = nid.multi_nid_loss(c, T1, kfs)
+    assert int(cache2.refreshes) == 1, "sub-pixel step must stay frozen"
+    np.testing.assert_allclose(float(l_frz), float(l_fresh), atol=2e-3)
+
+
+def test_frozen_taps_large_step_refreshes_to_exact():
+    """A multi-pixel pose step must trip the guard; after the refresh the
+    cached loss is exactly the direct loss at the new pose."""
+    c = simple_camera()
+    kfs = _single_kf_batch(c)
+    T0 = se3.exp(jnp.asarray([0.02, -0.01, 0.01, 0.004, -0.002, 0.004], jnp.float32))
+    cache = nid.make_tap_cache(c, T0, kfs)
+    fx = float(c.intrinsic[0])
+    wall_z = 5.0
+    xi = jnp.asarray([8.0 * wall_z / fx, 0.0, 0.0, 0.0, 0.0, 0.0], jnp.float32)
+    T1 = se3.compose(T0, se3.exp(xi))
+    l_frz, cache2 = nid.multi_nid_loss_cached(c, T1, kfs, cache)
+    assert int(cache2.refreshes) == 2, "multi-pixel step must re-gather"
+    assert float(l_frz) == float(nid.multi_nid_loss(c, T1, kfs))
+
+
+def test_refine_frozen_taps_matches_exact_solve():
+    """frozen_taps solve: recovers the planted perturbation to the reference
+    thresholds and lands at an objective value at parity with the exact
+    solve (objective-level comparison per CLAUDE.md), with measurably fewer
+    gathers than evaluations (the entire point of the mode)."""
+    c = simple_camera()
+    kfs = _single_kf_batch(c)
+    xi = jnp.asarray([0.02, -0.015, 0.01, 0.006, -0.004, 0.008], jnp.float32)
+    T0 = se3.exp(xi)
+    exact = refine.refine_pose(
+        c, kfs, T0, max_inner_iterations=60, max_outer_iterations=5)
+    frozen = refine.refine_pose(
+        c, kfs, T0, max_inner_iterations=60, max_outer_iterations=5,
+        frozen_taps=True)
+    dt, dr = se3.delta_magnitudes(frozen.T_camera_lidar, se3.identity())
+    assert float(dt) < 0.01, f"translation error {float(dt)}"
+    assert float(dr) < 0.017453, f"rotation error {float(dr)}"
+    assert float(frozen.nid) < float(exact.nid) + 1e-3, (
+        float(frozen.nid), float(exact.nid))
+    assert int(frozen.gathers) < int(frozen.evaluations), (
+        int(frozen.gathers), int(frozen.evaluations))
