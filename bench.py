@@ -42,6 +42,7 @@ Usage: python bench.py [--quick]
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -203,93 +204,182 @@ def bench_tpu(width, height, n_map, n_cull, k, inner_iters, outer_iters,
     )
     T0 = se3.exp(jnp.asarray([0.02, -0.01, 0.01, 0.004, -0.002, 0.004], jnp.float32))
 
-    def colorize_step(T):
-        return colorize.fuse(camera, points, valid, images, poses, T)
-
-    def refine_step():
+    def refine_step(kfs_in, T_start, **kw):
+        kw.setdefault("max_outer_iterations", outer_iters)
         return refine.refine_pose(
             camera,
-            kfs,
-            T0,
+            kfs_in,
+            T_start,
             max_inner_iterations=inner_iters,
-            max_outer_iterations=outer_iters,
+            **kw,
         )
 
-    def refine_step_c2f():
-        # Coarse-to-fine schedule: same total outer solves, first one on a
-        # 4x subsample (see opt/refine.py docstring). Reported separately —
-        # the headline keeps the reference-faithful all-full-res schedule.
-        return refine.refine_pose(
-            camera,
-            kfs,
-            T0,
-            max_inner_iterations=inner_iters,
+    variants = {
+        # Reference-faithful schedule: every evaluation at full resolution
+        # with a fresh tap gather.
+        "base": {},
+        # Coarse-to-fine: same total outer solves, first one on a 4x
+        # subsample (opt/refine.py docstring).
+        "c2f": dict(
             max_outer_iterations=max(outer_iters - 1, 1),
             coarse_outer_iterations=1,
             coarse_stride=4,
-        )
-
-    def refine_step_frozen():
+        ),
         # Guarded frozen-tap gather (opt/nid.TapCache): reference-faithful
-        # schedule, but evaluations reuse the tap gather until anchors
-        # drift. Reported NID is a fresh exact evaluation at the final pose.
-        return refine.refine_pose(
-            camera,
-            kfs,
-            T0,
-            max_inner_iterations=inner_iters,
-            max_outer_iterations=outer_iters,
-            frozen_taps=True,
-        )
-
-    def refine_step_frozen_c2f():
-        # Both optimizations stacked: coarse warm start + frozen gathers.
-        return refine.refine_pose(
-            camera,
-            kfs,
-            T0,
-            max_inner_iterations=inner_iters,
+        # schedule, evaluations reuse the tap gather until anchors drift.
+        # Reported NID is a fresh exact evaluation at the final pose.
+        "frozen": dict(frozen_taps=True),
+        # Both stacked.
+        "frozen_c2f": dict(
             max_outer_iterations=max(outer_iters - 1, 1),
             coarse_outer_iterations=1,
             coarse_stride=4,
             frozen_taps=True,
+        ),
+    }
+
+    # TIMING METHODOLOGY: the axon runtime returns bogus ~0 ms wall times
+    # for host-loop repeats — with identical buffers (the usual trigger) but
+    # sometimes also with freshly perturbed inputs (observed round 3: a full
+    # 1 s refine "measured" 0.014 s on its second host-level call). The only
+    # wall-clock pattern that has measured truthfully (cross-checked against
+    # profiler device-op sums, CLAUDE.md) is CHAINING the repetitions inside
+    # one jitted call with a data dependence between iterations, so XLA
+    # cannot elide or overlap them and the tunnel executes one long program.
+    REPS = 2
+
+    def _zeros_like_shape(fn):
+        return jax.tree_util.tree_map(
+            lambda sd: jnp.zeros(sd.shape, sd.dtype), jax.eval_shape(fn)
         )
 
-    # Warm-up (compile), then time TWICE (tunnel noise).
-    r = refine_step()
-    r.T_camera_lidar.t.block_until_ready()
+    @functools.partial(jax.jit, static_argnames=("variant", "reps"))
+    def refine_chain(kfs_in, T_start, variant, reps):
+        kw = variants[variant]
+
+        def body(i, carry):
+            T_s, _ = carry
+            res = refine_step(kfs_in, T_s, **kw)
+            # Next start pose depends on this result (serializes the chain —
+            # XLA cannot overlap, elide or CSE the iterations) but stays in
+            # the same basin: T0-scale perturbation ~1e-6.
+            z = jnp.float32(0.0)
+            eps = 1e-6 * (i.astype(jnp.float32) + 1.0) + 1e-9 * jnp.tanh(
+                jnp.sum(res.T_camera_lidar.t)
+            )
+            T_next = se3.compose(
+                T_start, se3.exp(jnp.stack([eps, z, z, z, eps, z]))
+            )
+            return (T_next, res)
+
+        placeholder = _zeros_like_shape(
+            lambda: refine_step(kfs_in, T_start, **kw)
+        )
+        _, res = jax.lax.fori_loop(0, reps, body, (T_start, placeholder))
+        return res
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def colorize_chain(points_in, valid_in, images_in, poses_in, T_in, reps):
+        # Everything large arrives as arguments: closed-over device arrays
+        # become embedded constants in the remote-compile payload (HTTP 413).
+        def body(i, carry):
+            T_s, _ = carry
+            fz = colorize.fuse(camera, points_in, valid_in, images_in, poses_in, T_s)
+            z = jnp.float32(0.0)
+            eps = 1e-7 * (i.astype(jnp.float32) + 1.0) + 1e-9 * jnp.tanh(
+                fz.colored.sum().astype(jnp.float32)
+            )
+            T_next = se3.compose(T_in, se3.exp(jnp.stack([eps, z, z, z, eps, z])))
+            return (T_next, fz)
+
+        placeholder = _zeros_like_shape(
+            lambda: colorize.fuse(camera, points_in, valid_in, images_in, poses_in, T_in)
+        )
+        _, fz = jax.lax.fori_loop(0, reps, body, (T_in, placeholder))
+        return fz
+
+    # Physically credible minimum wall times, scaled from the full-size
+    # workload (refine = dozens of evaluations x multiple ms each): anything
+    # below is the bogus-timing bug, not a fast run. Chained timing has not
+    # exhibited the bug; the floor is a tripwire, not a crutch.
+    scale = (n_cull * k) / (262_144.0 * 8.0)
+    min_refine_s = 0.05 * scale * REPS
+    min_colorize_s = 0.005 * scale * REPS
+
+    def timed(fn, min_s, tag, max_tries=3):
+        """Time fn(attempt); fn varies its device inputs with the attempt
+        index. Returns per-rep seconds."""
+        for attempt in range(max_tries):
+            t0 = time.perf_counter()
+            out = fn(attempt)
+            dt = time.perf_counter() - t0
+            if dt >= min_s:
+                return dt / REPS, out
+            print(
+                f"# bogus axon timing for {tag} ({dt * 1e3:.2f} ms < "
+                f"{min_s * 1e3:.0f} ms floor) — retrying with fresh inputs",
+                file=sys.stderr,
+            )
+        print(f"# WARNING: {tag} still below credibility floor", file=sys.stderr)
+        return dt / REPS, out
+
+    def start_pose(i):
+        eps = 1e-6 * (i + 1)
+        return se3.compose(
+            T0, se3.exp(jnp.asarray([eps, 0, 0, 0, eps, 0], jnp.float32))
+        )
+
+    def run_refine(T_start, variant):
+        r = refine_chain(kfs, T_start, variant, REPS)
+        r.T_camera_lidar.t.block_until_ready()
+        return r
+
+    def run_colorize(T):
+        fz = colorize_chain(points, valid, images, poses, T, REPS)
+        fz.rgb.block_until_ready()
+        return fz
+
+    # Warm-up (compile), then time twice (tunnel noise).
+    r = run_refine(T0, "base")
     print("# refine compiled", file=sys.stderr)
-    fz = colorize_step(r.T_camera_lidar)
-    fz.rgb.block_until_ready()
+    fz = run_colorize(r.T_camera_lidar)
     print("# colorize compiled", file=sys.stderr)
 
     runs = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        r = refine_step()
-        r.T_camera_lidar.t.block_until_ready()
-        t_refine = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        fz = colorize_step(r.T_camera_lidar)
-        fz.rgb.block_until_ready()
-        t_colorize = time.perf_counter() - t0
+    for run_i in range(3):
+        t_refine, r = timed(
+            lambda a: run_refine(start_pose(10 * run_i + a), "base"),
+            min_refine_s,
+            "refine",
+        )
+
+        def colorize_attempt(a):
+            T = r.T_camera_lidar
+            if a:  # vary the pose sub-micron on retries
+                T = se3.compose(
+                    T, se3.exp(jnp.asarray([1e-7 * a, 0, 0, 0, 0, 0], jnp.float32))
+                )
+            return run_colorize(T)
+
+        t_colorize, fz = timed(colorize_attempt, min_colorize_s, "colorize")
         runs.append((k / (t_refine + t_colorize), t_refine, t_colorize))
 
     extras = {}
     if not friendly:
         t_col = runs[-1][2]
-        for name, step in (
-            ("c2f", refine_step_c2f),
-            ("frozen", refine_step_frozen),
-            ("frozen_c2f", refine_step_frozen_c2f),
-        ):
-            rv = step()
-            rv.T_camera_lidar.t.block_until_ready()
+        for vi, name in enumerate(("c2f", "frozen", "frozen_c2f")):
+            rv = run_refine(T0, name)
             print(f"# {name} refine compiled", file=sys.stderr)
-            t0 = time.perf_counter()
-            rv = step()
-            rv.T_camera_lidar.t.block_until_ready()
-            t_refine_v = time.perf_counter() - t0
+            # Two timed calls; report the second (first-call-after-compile
+            # walls are sometimes inflated by tunnel setup).
+            for call_i in range(2):
+                t_refine_v, rv = timed(
+                    lambda a: run_refine(
+                        start_pose(100 + 20 * vi + 10 * call_i + a), name
+                    ),
+                    min_refine_s * 0.3,  # these variants are legitimately faster
+                    name,
+                )
             extras[name] = {
                 "frames_per_s": k / (t_refine_v + t_col),
                 "nid": float(rv.nid),
@@ -557,7 +647,13 @@ def main():
     runs, nid_val, colored, extras = bench_tpu(
         width, height, n_map, n_cull, k, inner_iters, outer_iters
     )
-    (fps1, tr1, tc1), (fps2, t_ref, t_col) = runs
+    (fps1, tr1, tc1), (fps2, t2_ref, t2_col), (fps3, t3_ref, t3_col) = runs
+    # MEDIAN of the three timed runs: the tunnel shows both inflated
+    # first-call walls and (rarely) bogus-fast ones; the median of three
+    # chained runs is robust to one outlier of either sign.
+    fps_med = sorted([fps1, fps2, fps3])[1]
+    t_ref = sorted([tr1, t2_ref, t3_ref])[1]
+    t_col = sorted([tc1, t2_col, t3_col])[1]
     fps_c2f, nid_c2f = extras["c2f"]["frames_per_s"], extras["c2f"]["nid"]
     frz, frz_c2f = extras["frozen"], extras["frozen_c2f"]
     runs_f, nid_f, _, _ = bench_tpu(
@@ -574,13 +670,14 @@ def main():
     # The CPU divisor is a subsample-scaled single-thread estimate with
     # measured 2-4x run-to-run spread (BASELINE.md) — report the ratio as an
     # ORDER OF MAGNITUDE (1 significant digit), not a fake-precision point.
-    ratio = fps2 / cpu_fps
+    ratio = fps_med / cpu_fps
     ratio_oom = float(f"{ratio:.0e}")
     mls_ratio = mls_runs[1] / mls_cpu_pps
 
     print(
         f"# tpu hardened run1: {fps1:.2f} frames/s (refine {tr1:.3f}s colorize {tc1:.3f}s) | "
-        f"run2: {fps2:.2f} frames/s (refine {t_ref:.3f}s colorize {t_col:.3f}s) | "
+        f"run2: {fps2:.2f} run3: {fps3:.2f} -> median {fps_med:.2f} frames/s "
+        f"(refine {t_ref:.3f}s colorize {t_col:.3f}s) | "
         f"nid {nid_val:.4f} colored {colored} | "
         f"c2f {fps_c2f:.2f} frames/s (nid {nid_c2f:.4f}) | "
         f"frozen {frz['frames_per_s']:.2f} frames/s (nid {frz['nid']:.4f}, "
@@ -597,11 +694,13 @@ def main():
         json.dumps(
             {
                 "metric": "colorize_refine_frames_per_s",
-                "value": round(fps2, 3),
+                "value": round(fps_med, 3),
                 "unit": "frames/s",
                 "vs_baseline": ratio_oom,
                 "vs_baseline_note": "single-CPU divisor is a subsample-scaled estimate; 1 significant digit",
                 "run1_frames_per_s": round(fps1, 3),
+                "run2_frames_per_s": round(fps2, 3),
+                "run3_frames_per_s": round(fps3, 3),
                 "c2f_frames_per_s": round(fps_c2f, 3),
                 "c2f_nid": round(nid_c2f, 4),
                 "frozen_frames_per_s": round(frz["frames_per_s"], 3),

@@ -173,9 +173,15 @@ def refine_pose(
                 big = jnp.asarray(jnp.inf, loss.dtype)
                 return jnp.where(outside, big, loss), cache
 
-            def body(st: Outer):
-                cache = _nid.make_tap_cache(camera, st.T, phase_kfs)
-                base_refreshes = cache.refreshes
+            # The cache is built once per phase and carried ACROSS outer
+            # iterations (knots are stored absolute, so a cache gathered
+            # under one outer parameterization stays valid in the next —
+            # the guard alone decides when the pose has moved enough to
+            # re-gather).
+            cache0 = _nid.make_tap_cache(camera, init.T, phase_kfs)
+
+            def body(carry):
+                st, cache = carry
 
                 def vg_c(xi, c):
                     (v, c2), g = jax.value_and_grad(
@@ -192,16 +198,24 @@ def refine_pose(
                 T_new = se3.compose(st.T, se3.exp(res.x))
                 dt, dr = se3.delta_magnitudes(st.T, T_new)
                 converged = (dt < delta_trans_thresh) & (dr < delta_rot_thresh)
-                return Outer(
-                    T=T_new,
-                    nid=res.value,
-                    it=st.it + 1,
-                    done=converged,
-                    evals=st.evals + res.evaluations,
-                    gathers=st.gathers
-                    + (cache.refreshes - base_refreshes)
-                    + jnp.asarray(1, jnp.int32),
+                return (
+                    Outer(
+                        T=T_new,
+                        nid=res.value,
+                        it=st.it + 1,
+                        done=converged,
+                        evals=st.evals + res.evaluations,
+                        # refreshes counts within this phase's cache; add the
+                        # phase-entry total so coarse-phase gathers persist.
+                        gathers=init.gathers + cache.refreshes,
+                    ),
+                    cache,
                 )
+
+            final, _ = jax.lax.while_loop(
+                lambda c: cond(c[0]), body, (init, cache0)
+            )
+            return final
 
         else:
 
