@@ -83,6 +83,7 @@ def _subsample_keyframes(kfs: NIDKeyframe, stride: int) -> NIDKeyframe:
         "coarse_stride",
         "frozen_taps",
         "frozen_guard_frac",
+        "frozen_impl",
     ),
 )
 def refine_pose(
@@ -102,6 +103,7 @@ def refine_pose(
     coarse_stride: int = 4,
     frozen_taps: bool = False,
     frozen_guard_frac: float = 0.25,
+    frozen_impl=None,
 ) -> RefineResult:
     """Optimize the shared camera<-lidar correction transform over keyframes.
 
@@ -135,7 +137,15 @@ def refine_pose(
         # objective evaluation inside the solver loops.
         kfs = _nid.prepare_keyframes(kfs)
     else:
-        assert not frozen_taps, "frozen_taps requires the NID loss"
+        # A custom loss (e.g. the sharded one) must bring its own frozen
+        # implementation (parallel/nid_shard.make_sharded_frozen).
+        assert not frozen_taps or frozen_impl is not None, (
+            "frozen_taps with a custom loss_fn requires frozen_impl"
+        )
+    make_cache_fn, cached_loss_fn = frozen_impl or (
+        _nid.make_tap_cache,
+        _nid.multi_nid_loss_cached,
+    )
 
     class Outer(NamedTuple):
         T: se3.SE3
@@ -160,7 +170,7 @@ def refine_pose(
                 trans = jnp.linalg.norm(se3.exp(xi).t)
                 rot = jnp.linalg.norm(xi[3:])
                 outside = (trans > trust_region_trans) | (rot > trust_region_rot)
-                loss, cache = _nid.multi_nid_loss_cached(
+                loss, cache = cached_loss_fn(
                     camera,
                     T,
                     phase_kfs,
@@ -178,7 +188,7 @@ def refine_pose(
             # under one outer parameterization stays valid in the next —
             # the guard alone decides when the pose has moved enough to
             # re-gather).
-            cache0 = _nid.make_tap_cache(camera, init.T, phase_kfs)
+            cache0 = make_cache_fn(camera, init.T, phase_kfs)
 
             def body(carry):
                 st, cache = carry

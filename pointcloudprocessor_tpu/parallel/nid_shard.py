@@ -24,6 +24,10 @@ from ..models import camera as cam
 from ..opt import bfgs
 from ..opt.nid import (
     NIDKeyframe,
+    TapCache,
+    _gather_taps,
+    _histograms_from_taps,
+    _project_all,
     nid_from_histograms,
     nid_histograms,
     prepare_keyframes,
@@ -93,6 +97,110 @@ def make_sharded_loss(mesh: Mesh):
     return loss_fn
 
 
+def make_sharded_frozen(mesh: Mesh):
+    """Sharded implementations of the frozen-tap objective
+    (`opt/nid.TapCache` / `multi_nid_loss_cached` semantics, SPMD over the
+    (kf, pt) mesh) for `opt.refine.refine_pose(frozen_taps=True,
+    frozen_impl=...)`.
+
+    The cache fields live sharded exactly like the point arrays (taps/knot
+    (K, N, 2) over (kf, pt); inlier (K, N)); the staleness decision psums
+    the drift counts over BOTH axes so every device takes the same
+    `lax.cond` branch, and the re-gather happens shard-locally (tap tables
+    are replicated over pt, as in the direct sharded loss).
+    """
+    pkp = P(mesh_lib.KF_AXIS, mesh_lib.PT_AXIS)
+    pk = P(mesh_lib.KF_AXIS)
+    both = (mesh_lib.KF_AXIS, mesh_lib.PT_AXIS)
+
+    def make_cache(camera, T, kfs) -> TapCache:
+        def local(points, intensity, valid, tap_rows):
+            lk = NIDKeyframe(points, intensity, valid, None, tap_rows)
+            proj, knot, inl = _project_all(camera, T, lk)
+            taps = _gather_taps(camera, lk, knot)
+            return taps, knot, inl.astype(proj.dtype)
+
+        taps, knot, inlf = jax.shard_map(
+            local,
+            mesh=mesh,
+            check_vma=False,
+            in_specs=(pkp, pkp, pkp, pk),
+            out_specs=(pkp, pkp, pkp),
+        )(kfs.points, kfs.intensity, kfs.valid, kfs.tap_rows)
+        return TapCache(taps, knot, inlf, jnp.asarray(1, jnp.int32))
+
+    def cached_loss(
+        camera, T, kfs, cache, bins, guard_frac=0.25, allow_refresh=True
+    ):
+        def local(points, intensity, valid, tap_rows, c_taps, c_knot, c_inl):
+            lk = NIDKeyframe(points, intensity, valid, None, tap_rows)
+            proj, knot_true, inl_true = _project_all(camera, T, lk)
+
+            shift = jnp.max(
+                jnp.abs(
+                    knot_true.astype(jnp.float32) - c_knot.astype(jnp.float32)
+                ),
+                axis=-1,
+            )
+            care = inl_true | (c_inl > 0)
+            n_care = jnp.maximum(
+                jax.lax.psum(jnp.sum(care), both), 1
+            ).astype(jnp.float32)
+            frac1 = jax.lax.psum(jnp.sum((shift >= 1.0) & care), both) / n_care
+            frac2 = jax.lax.psum(jnp.sum((shift >= 2.0) & care), both) / n_care
+            stale = ((frac1 > guard_frac) | (frac2 > 0.001)) & allow_refresh
+
+            def fresh(_):
+                return (
+                    _gather_taps(camera, lk, knot_true),
+                    knot_true,
+                    inl_true.astype(proj.dtype),
+                )
+
+            taps, knot, inlf = jax.lax.cond(
+                stale, fresh, lambda _: (c_taps, c_knot, c_inl), None
+            )
+            s = jnp.clip(
+                proj - jax.lax.stop_gradient(knot).astype(proj.dtype), -1.5, 2.5
+            )
+
+            def per_kf(taps1, s1, inten1, inl1):
+                bin_pts = jnp.clip(
+                    (inten1 * bins).astype(jnp.int32), 0, bins - 1
+                )
+                hj, hi, hp, num = _histograms_from_taps(
+                    taps1, s1, bin_pts, inl1, bins, None
+                )
+                hj = jax.lax.psum(hj, mesh_lib.PT_AXIS)
+                hi = jax.lax.psum(hi, mesh_lib.PT_AXIS)
+                hp = jax.lax.psum(hp, mesh_lib.PT_AXIS)
+                num = jax.lax.psum(num, mesh_lib.PT_AXIS)
+                return nid_from_histograms(hj, hi, hp, num)
+
+            losses = jax.vmap(per_kf)(taps, s, intensity, inlf)
+            loss = jax.lax.psum(jnp.sum(losses), mesh_lib.KF_AXIS)
+            return loss, taps, knot, inlf, stale.astype(jnp.int32)
+
+        loss, taps, knot, inlf, inc = jax.shard_map(
+            local,
+            mesh=mesh,
+            check_vma=False,
+            in_specs=(pkp, pkp, pkp, pk, pkp, pkp, pkp),
+            out_specs=(P(), pkp, pkp, pkp, P()),
+        )(
+            kfs.points,
+            kfs.intensity,
+            kfs.valid,
+            kfs.tap_rows,
+            cache.taps,
+            cache.knot,
+            cache.inlier,
+        )
+        return loss, TapCache(taps, knot, inlf, cache.refreshes + inc)
+
+    return make_cache, cached_loss
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "bins", "max_outer_iterations", "max_inner_iterations"),
@@ -141,7 +249,14 @@ def refine_per_keyframe_sharded(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "bins", "max_outer_iterations", "max_inner_iterations"),
+    static_argnames=(
+        "mesh",
+        "bins",
+        "max_outer_iterations",
+        "max_inner_iterations",
+        "frozen_taps",
+        "frozen_guard_frac",
+    ),
 )
 def refine_pose_sharded(
     camera: cam.PinholeCamera,
@@ -152,8 +267,12 @@ def refine_pose_sharded(
     bins: int = 16,
     max_outer_iterations: int = 10,
     max_inner_iterations: int = 64,
+    frozen_taps: bool = False,
+    frozen_guard_frac: float = 0.25,
 ):
-    """Multi-device version of opt.refine.refine_pose (same semantics)."""
+    """Multi-device version of opt.refine.refine_pose (same semantics,
+    including the optional frozen-tap gather reuse — the cache shards with
+    the points, see :func:`make_sharded_frozen`)."""
     from ..opt.refine import refine_pose
 
     # Tap tables built once, outside the solver loops (sharded over kf with
@@ -168,4 +287,7 @@ def refine_pose_sharded(
         max_outer_iterations=max_outer_iterations,
         max_inner_iterations=max_inner_iterations,
         loss_fn=make_sharded_loss(mesh),
+        frozen_taps=frozen_taps,
+        frozen_guard_frac=frozen_guard_frac,
+        frozen_impl=make_sharded_frozen(mesh) if frozen_taps else None,
     )

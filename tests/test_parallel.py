@@ -112,3 +112,31 @@ def test_sharded_fusion_matches_unsharded():
         np.asarray(got.observation_count), np.asarray(want.observation_count)
     )
     np.testing.assert_array_equal(np.asarray(got.best_label), np.asarray(want.best_label))
+
+
+def test_sharded_frozen_refine_matches_serial_frozen():
+    """frozen_taps under the sharded loss: the cache shards with the points,
+    the staleness decision is psum'd (every device takes the same cond
+    branch), and the solve lands at the same objective as the serial frozen
+    solve (objective-level comparison per CLAUDE.md) while re-gathering
+    measurably less often than it evaluates."""
+    from pointcloudprocessor_tpu.opt import refine
+
+    c = simple_camera()
+    kfs = batched_keyframes(c, k=2)
+    m = mesh_lib.make_mesh(kf=2, pt=4)
+    xi = jnp.asarray([0.02, -0.015, 0.01, 0.006, -0.004, 0.008], jnp.float32)
+    sharded = nid_shard.refine_pose_sharded(
+        c, kfs, se3.exp(xi), m, max_inner_iterations=60, max_outer_iterations=5,
+        frozen_taps=True,
+    )
+    serial = refine.refine_pose(
+        c, kfs, se3.exp(xi), max_inner_iterations=60, max_outer_iterations=5,
+        frozen_taps=True,
+    )
+    dt, dr = se3.delta_magnitudes(sharded.T_camera_lidar, se3.identity())
+    assert float(dt) < 0.01
+    assert float(dr) < 0.017453
+    assert abs(float(sharded.nid) - float(serial.nid)) < 1e-3, (
+        float(sharded.nid), float(serial.nid))
+    assert int(sharded.gathers) < int(sharded.evaluations)
