@@ -20,7 +20,7 @@ import time
 
 
 def run_once(n_devices: int, k: int, n_points: int, width: int, height: int,
-             inner: int, outer: int, kf_ax: int | None = None) -> dict:
+             inner: int, outer: int, kf_ax: int | None = None, frozen=False) -> dict:
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -85,6 +85,7 @@ def run_once(n_devices: int, k: int, n_points: int, width: int, height: int,
         res = nid_shard.refine_pose_sharded(
             camera, kfs, T0, mesh,
             max_inner_iterations=inner, max_outer_iterations=outer,
+            frozen_taps=frozen,
         )
         fused = fusion_shard.fuse_sharded(
             camera, map_pts, map_valid, images, poses, res.T_camera_lidar, mesh,
@@ -118,6 +119,10 @@ def main(argv=None) -> int:
     ap.add_argument("--height", type=int, default=768)
     ap.add_argument("--inner", type=int, default=10)
     ap.add_argument("--outer", type=int, default=2)
+    ap.add_argument("--frozen", action="store_true",
+                    help="run the refine with frozen_taps=True (the guarded "
+                         "frozen-gather objective; cache shards with the "
+                         "points, parallel/nid_shard.make_sharded_frozen)")
     ap.add_argument("--sweep-shapes", action="store_true",
                     help="also sweep every (kf x pt) mesh factorization at "
                     "the max device count and assert NID equality")
@@ -139,7 +144,7 @@ def main(argv=None) -> int:
     results = []
     for c in counts:
         r = run_once(c, args.keyframes, args.points, args.width, args.height,
-                     args.inner, args.outer)
+                     args.inner, args.outer, frozen=args.frozen)
         results.append(r)
         print(json.dumps(r))
     if len(results) > 1:
@@ -162,7 +167,8 @@ def main(argv=None) -> int:
         shape_results = []
         for kf_ax in [d for d in range(1, n + 1) if n % d == 0 and d <= args.keyframes]:
             r = run_once(n, args.keyframes, args.points, args.width,
-                         args.height, args.inner, args.outer, kf_ax=kf_ax)
+                         args.height, args.inner, args.outer, kf_ax=kf_ax,
+                         frozen=args.frozen)
             shape_results.append(r)
             print(json.dumps(r))
         nids = [r["nid"] for r in shape_results]
