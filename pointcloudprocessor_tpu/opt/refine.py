@@ -82,7 +82,6 @@ def _subsample_keyframes(kfs: NIDKeyframe, stride: int) -> NIDKeyframe:
         "coarse_outer_iterations",
         "coarse_stride",
         "frozen_taps",
-        "frozen_guard_frac",
         "frozen_impl",
     ),
 )
@@ -102,7 +101,7 @@ def refine_pose(
     coarse_outer_iterations: int = 0,
     coarse_stride: int = 4,
     frozen_taps: bool = False,
-    frozen_guard_frac: float = 0.25,
+    frozen_guard_frac: float = 0.25,  # traced (sweepable without recompile)
     frozen_impl=None,
 ) -> RefineResult:
     """Optimize the shared camera<-lidar correction transform over keyframes.
@@ -155,7 +154,7 @@ def refine_pose(
         evals: jnp.ndarray
         gathers: jnp.ndarray
 
-    def solve_phase(init: Outer, phase_kfs, max_iters) -> Outer:
+    def solve_phase(init: Outer, phase_kfs, max_iters, use_frozen) -> Outer:
         objective = _guarded_objective(
             camera, phase_kfs, bins, trust_region_trans, trust_region_rot, loss_fn
         )
@@ -163,7 +162,7 @@ def refine_pose(
         def cond(st: Outer):
             return (~st.done) & (st.it < max_iters)
 
-        if frozen_taps:
+        if use_frozen:
 
             def guarded_cached(xi, T_init_, cache):
                 T = se3.compose(T_init_, se3.exp(xi))
@@ -258,8 +257,17 @@ def refine_pose(
         gathers=jnp.asarray(0, jnp.int32),
     )
     if coarse_outer_iterations > 0 and coarse_stride > 1:
+        # The coarse phase always runs the plain objective: its evaluations
+        # are already ~4x cheaper (subsampled gather), it is where the solve
+        # takes its LARGE steps (so frozen taps would refresh constantly at
+        # best, or wander on the noisier subsampled surrogate at worst —
+        # measured round 3: frozen+c2f was SLOWER than either alone), and
+        # exactness during the basin search keeps the warm start honest.
         coarse = solve_phase(
-            init, _subsample_keyframes(kfs, coarse_stride), coarse_outer_iterations
+            init,
+            _subsample_keyframes(kfs, coarse_stride),
+            coarse_outer_iterations,
+            use_frozen=False,
         )
         # Fine phase starts from the coarse pose with a reset iteration /
         # convergence state (the coarse phase only warms the initial guess).
@@ -271,7 +279,7 @@ def refine_pose(
             evals=coarse.evals,
             gathers=coarse.gathers,
         )
-    final = solve_phase(init, kfs, max_outer_iterations)
+    final = solve_phase(init, kfs, max_outer_iterations, use_frozen=frozen_taps)
     nid_final = final.nid
     if frozen_taps:
         # Report the EXACT full-resolution objective at the final pose, not

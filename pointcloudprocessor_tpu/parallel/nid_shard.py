@@ -255,7 +255,6 @@ def refine_per_keyframe_sharded(
         "max_outer_iterations",
         "max_inner_iterations",
         "frozen_taps",
-        "frozen_guard_frac",
     ),
 )
 def refine_pose_sharded(
