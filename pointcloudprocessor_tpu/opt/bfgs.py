@@ -211,7 +211,20 @@ def minimize_cached(
             done=done,
             prev_alpha=jnp.where(stalled, st.prev_alpha, alpha),
             evals=st.evals + probes,
-            cache=cache,  # a rejected probe's refresh is still a valid memo
+            # A rejected probe's refresh is still a valid memo — but note the
+            # surrogate-generation subtlety: if a probe triggered a cache
+            # refresh and was then rejected, the carried incumbent (val, g)
+            # was computed under the PRE-refresh cache while later probes use
+            # the post-refresh cache, so one Armijo comparison mixes surrogate
+            # generations. The mix is bounded by the frozen-tap guard (~1e-4
+            # NID, the same order as the objective's plateau — measured in
+            # opt/nid.multi_nid_loss_cached's docstring), can at worst accept
+            # one non-descent step of that magnitude or flip one stall
+            # decision, and the solve-level objective-parity tests
+            # (tests/test_nid.py) bound the end-to-end effect. Re-evaluating
+            # the incumbent after every refresh would cost a frozen eval per
+            # refresh for a plateau-sized correction — not worth it.
+            cache=cache,
         )
 
     final = jax.lax.while_loop(cond, body, s0)

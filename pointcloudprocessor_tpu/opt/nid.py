@@ -330,21 +330,75 @@ def _project_all(camera: cam.PinholeCamera, T: se3.SE3, kfs: NIDKeyframe):
     return jax.vmap(one)(kfs.points, kfs.valid)
 
 
-def _gather_taps(camera: cam.PinholeCamera, kfs: NIDKeyframe, knot: jnp.ndarray):
-    """(K, N, 2) knots -> (K, N, 2) packed tap rows (the expensive gather)."""
+def _use_grouped_default() -> bool:
+    """Grouped slab gather on real TPU backends (the per-index take cost it
+    routes around is a TPU gather-emitter property); plain take elsewhere.
+    The grouped path is bit-exact (tests/test_tap_gather.py) but only FASTER
+    when points are raster-sorted — `opt/refine.refine_pose(sort_points=...)`
+    arranges that."""
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _gather_taps(
+    camera: cam.PinholeCamera,
+    kfs: NIDKeyframe,
+    knot: jnp.ndarray,
+    inlier: Optional[jnp.ndarray] = None,
+    use_grouped: bool | None = None,
+):
+    """(K, N, 2) knots -> (K, N, 2) packed tap rows (the expensive gather).
+
+    ``use_grouped`` selects the grouped slab gather (`ops/tap_gather`):
+    all keyframes flatten into ONE call over the concatenated tables (index
+    = kf * H*W + anchor), which keeps its overflow `lax.cond` outside any
+    vmap — under vmap a cond lowers to a select that would execute the
+    full-take fallback unconditionally. Callers that vmap this function
+    must pass use_grouped=False. Rows where ``inlier`` is False carry
+    unspecified data under the grouped path (downstream histogram gates
+    zero them, exactly as they zero the direct path's clamped-anchor rows).
+    """
     anchor = jnp.clip(knot[..., 1], 0, camera.height - 1) * camera.width + jnp.clip(
         knot[..., 0], 0, camera.width - 1
     )
-    return jax.vmap(lambda rows, a: jnp.take(rows, a, axis=0))(kfs.tap_rows, anchor)
+    if use_grouped is None:
+        use_grouped = _use_grouped_default()
+    if not use_grouped:
+        return jax.vmap(lambda rows, a: jnp.take(rows, a, axis=0))(
+            kfs.tap_rows, anchor
+        )
+    from ..ops import tap_gather
+
+    k, r, c = kfs.tap_rows.shape
+    n = anchor.shape[1]
+    flat_idx = (
+        anchor + jnp.arange(k, dtype=jnp.int32)[:, None] * jnp.int32(r)
+    ).reshape(-1)
+    ok = (
+        inlier.reshape(-1).astype(bool)
+        if inlier is not None
+        else jnp.ones((k * n,), bool)
+    )
+    taps = tap_gather.grouped_take(
+        kfs.tap_rows.reshape(k * r, c),
+        flat_idx,
+        ok,
+        # Forcing the grouped path on a non-TPU backend (tests, debugging)
+        # runs the selection kernel in interpret mode.
+        interpret=not _use_grouped_default(),
+    )
+    return taps.reshape(k, n, c)
 
 
 def make_tap_cache(
-    camera: cam.PinholeCamera, T_camera_lidar: se3.SE3, kfs: NIDKeyframe
+    camera: cam.PinholeCamera,
+    T_camera_lidar: se3.SE3,
+    kfs: NIDKeyframe,
+    use_grouped: bool | None = None,
 ) -> TapCache:
     """Fresh gather at ``T_camera_lidar`` (kfs must carry tap_rows —
     see :func:`prepare_keyframes`)."""
     proj, knot, inl = _project_all(camera, T_camera_lidar, kfs)
-    taps = _gather_taps(camera, kfs, knot)
+    taps = _gather_taps(camera, kfs, knot, inl, use_grouped)
     return TapCache(taps, knot, inl.astype(proj.dtype), jnp.asarray(1, jnp.int32))
 
 
@@ -357,6 +411,7 @@ def multi_nid_loss_cached(
     guard_frac: float = 0.25,
     allow_refresh=True,
     use_pallas: bool | None = None,
+    use_grouped: bool | None = None,
 ):
     """Sum of per-keyframe NIDs with a guarded frozen-tap gather.
 
@@ -396,7 +451,7 @@ def multi_nid_loss_cached(
 
     def fresh(c: TapCache) -> TapCache:
         return TapCache(
-            _gather_taps(camera, kfs, knot_true),
+            _gather_taps(camera, kfs, knot_true, inl_true, use_grouped),
             knot_true,
             inl_true.astype(proj.dtype),
             c.refreshes + 1,
@@ -422,11 +477,25 @@ def multi_nid_loss_cached(
 
 
 def nid_from_histograms(hist_joint, hist_image, hist_points, num):
-    """Entropies -> NID, formulas of nid_cost.hpp:95-105 (log(p + 1e-6))."""
+    """Entropies -> NID, formulas of nid_cost.hpp:95-105 (log(p + 1e-6)).
+
+    Probabilities are clamped to >= 0 before the entropy terms: the
+    frozen-tap path evaluates cubic weights extrapolated up to the
+    [-1.5, 2.5] clip for the rare not-yet-refreshed drifted point, and
+    extrapolated B-spline weights go negative (~-0.56 worst case per tap) —
+    a low-mass bin can end up with net-negative probability, and
+    log(p + 1e-6) of a negative p is NaN. A NaN on an inner solve's FIRST
+    evaluation would silently stall that whole inner solve (the line search
+    rejects non-finite probes, so the incumbent value stays NaN and no step
+    is ever accepted). The clamp uses where(p < 0) rather than maximum so it
+    is an identity in value AND gradient for every exact-path histogram
+    (true B-spline partitions of unity are non-negative; lax.max's VJP would
+    halve the gradient of exactly-empty bins via tie-splitting)."""
     denom = jnp.maximum(num, 1.0)
-    pj = hist_joint / denom
-    pi = hist_image / denom
-    pp = hist_points / denom
+    clamp = lambda p: jnp.where(p < 0, jnp.zeros_like(p), p)
+    pj = clamp(hist_joint / denom)
+    pi = clamp(hist_image / denom)
+    pp = clamp(hist_points / denom)
     H_image = -jnp.sum(pi * jnp.log(pi + 1e-6))
     H_points = -jnp.sum(pp * jnp.log(pp + 1e-6))
     H_joint = -jnp.sum(pj * jnp.log(pj + 1e-6))
@@ -453,17 +522,36 @@ def multi_nid_loss(
     kfs: NIDKeyframe,  # batched: leading keyframe axis on every field
     bins: int = 16,
     use_pallas: bool | None = None,
+    use_grouped: bool | None = None,
 ) -> jnp.ndarray:
     """Sum of per-keyframe NIDs — `MultiNIDCost::operator()`
     (`visual_camera_calibration.cpp:94-123`). The reference parallelizes
     keyframes with OpenMP (:110); here they vmap (and, in
-    `parallel/nid_shard.py`, shard across devices with a `psum`)."""
+    `parallel/nid_shard.py`, shard across devices with a `psum`).
+
+    When tap tables are attached, the tap gather is HOISTED out of the
+    keyframe vmap into one flattened `_gather_taps` call: bit-identical
+    values (same rows, same histogram summation structure), but the grouped
+    slab gather's overflow `lax.cond` stays a real branch instead of
+    degenerating to an always-both-paths select under vmap. Callers that
+    vmap THIS function must pass use_grouped=False (see
+    `refine_pose_per_keyframe`)."""
     if kfs.tap_rows is None:
         losses = jax.vmap(lambda p, i, v, b: nid_loss(
             camera, T_camera_lidar, NIDKeyframe(p, i, v, b), bins, use_pallas
         ))(kfs.points, kfs.intensity, kfs.valid, kfs.bin_image)
-    else:
-        losses = jax.vmap(lambda p, i, v, b, t: nid_loss(
-            camera, T_camera_lidar, NIDKeyframe(p, i, v, b, t), bins, use_pallas
-        ))(kfs.points, kfs.intensity, kfs.valid, kfs.bin_image, kfs.tap_rows)
+        return jnp.sum(losses)
+
+    proj, knot, inl = _project_all(camera, T_camera_lidar, kfs)
+    s = proj - knot.astype(proj.dtype)  # knot already stop-gradiented
+    taps = _gather_taps(camera, kfs, knot, inl, use_grouped)
+    inl_f = inl.astype(proj.dtype)
+
+    def one(taps1, s1, inten, inl1):
+        bin_pts = jnp.clip((inten * bins).astype(jnp.int32), 0, bins - 1)
+        return nid_from_histograms(
+            *_histograms_from_taps(taps1, s1, bin_pts, inl1, bins, use_pallas)
+        )
+
+    losses = jax.vmap(one)(taps, s, kfs.intensity, inl_f)
     return jnp.sum(losses)

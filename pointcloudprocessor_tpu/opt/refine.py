@@ -83,6 +83,8 @@ def _subsample_keyframes(kfs: NIDKeyframe, stride: int) -> NIDKeyframe:
         "coarse_stride",
         "frozen_taps",
         "frozen_impl",
+        "sort_points",
+        "use_grouped_gather",
     ),
 )
 def refine_pose(
@@ -103,6 +105,8 @@ def refine_pose(
     frozen_taps: bool = False,
     frozen_guard_frac: float = 0.25,  # traced (sweepable without recompile)
     frozen_impl=None,
+    sort_points: bool = True,
+    use_grouped_gather: bool | None = None,
 ) -> RefineResult:
     """Optimize the shared camera<-lidar correction transform over keyframes.
 
@@ -135,15 +139,29 @@ def refine_pose(
         # Pose-independent tap tables: built once here, reused by every
         # objective evaluation inside the solver loops.
         kfs = _nid.prepare_keyframes(kfs)
+        # Thread the grouped-gather choice through the default objective
+        # (the partial is created inside the trace, so the jit cache keys
+        # on `use_grouped_gather`, not on partial identity).
+        loss_fn = functools.partial(multi_nid_loss, use_grouped=use_grouped_gather)
     else:
         # A custom loss (e.g. the sharded one) must bring its own frozen
         # implementation (parallel/nid_shard.make_sharded_frozen).
         assert not frozen_taps or frozen_impl is not None, (
             "frozen_taps with a custom loss_fn requires frozen_impl"
         )
+    if sort_points:
+        # Raster-sort the points ONCE at the solve's start pose: the NID
+        # histograms are permutation-invariant (up to f32 summation order),
+        # and sorted points make every tap gather's rows near-monotone —
+        # the precondition for the grouped slab gather's fast path
+        # (ops/tap_gather.py). The trust region bounds pose motion, so the
+        # order stays near-sorted for the whole solve.
+        kfs = _nid.sort_by_raster(camera, T_init, kfs)
     make_cache_fn, cached_loss_fn = frozen_impl or (
-        _nid.make_tap_cache,
-        _nid.multi_nid_loss_cached,
+        functools.partial(_nid.make_tap_cache, use_grouped=use_grouped_gather),
+        functools.partial(
+            _nid.multi_nid_loss_cached, use_grouped=use_grouped_gather
+        ),
     )
 
     class Outer(NamedTuple):
@@ -226,27 +244,25 @@ def refine_pose(
             )
             return final
 
-        else:
+        def body_plain(st: Outer):
+            res = bfgs.minimize(
+                lambda xi: objective(xi, st.T),
+                jnp.zeros(6, st.T.t.dtype),
+                max_iterations=max_inner_iterations,
+            )
+            T_new = se3.compose(st.T, se3.exp(res.x))
+            dt, dr = se3.delta_magnitudes(st.T, T_new)
+            converged = (dt < delta_trans_thresh) & (dr < delta_rot_thresh)
+            return Outer(
+                T=T_new,
+                nid=res.value,
+                it=st.it + 1,
+                done=converged,
+                evals=st.evals + res.evaluations,
+                gathers=st.gathers,
+            )
 
-            def body(st: Outer):
-                res = bfgs.minimize(
-                    lambda xi: objective(xi, st.T),
-                    jnp.zeros(6, st.T.t.dtype),
-                    max_iterations=max_inner_iterations,
-                )
-                T_new = se3.compose(st.T, se3.exp(res.x))
-                dt, dr = se3.delta_magnitudes(st.T, T_new)
-                converged = (dt < delta_trans_thresh) & (dr < delta_rot_thresh)
-                return Outer(
-                    T=T_new,
-                    nid=res.value,
-                    it=st.it + 1,
-                    done=converged,
-                    evals=st.evals + res.evaluations,
-                    gathers=st.gathers,
-                )
-
-        return jax.lax.while_loop(cond, body, init)
+        return jax.lax.while_loop(cond, body_plain, init)
 
     init = Outer(
         T=T_init,
@@ -342,6 +358,12 @@ def refine_pose_per_keyframe(
             delta_rot_thresh=delta_rot_thresh,
             trust_region_trans=trust_region_trans,
             trust_region_rot=trust_region_rot,
+            # Under this vmap the grouped gather's overflow cond would
+            # lower to a both-paths select (see multi_nid_loss); the direct
+            # per-point take is the right path here, and without it the
+            # raster sort buys nothing.
+            sort_points=False,
+            use_grouped_gather=False,
         )
 
     return jax.vmap(solve_one)(

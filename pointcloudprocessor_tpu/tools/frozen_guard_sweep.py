@@ -84,6 +84,15 @@ def main():
         _, res = jax.lax.fori_loop(0, reps, body, (T_start, placeholder))
         return res
 
+    # Per-guard protocol = the bench headline's (CLAUDE.md): MEDIAN of three
+    # chained calls, each with freshly perturbed start poses, plus a
+    # physical-floor tripwire (scale-derived minimum credible wall — a
+    # frozen-heavy solve still runs dozens of multi-ms evaluations). Round 3
+    # timed each guard with a single wall and its guard-0.25 row came out
+    # 26x first-call inflated; the sweep picks the bench's default guard, so
+    # it deserves trustworthy numbers.
+    scale = (n_cull * k) / (262_144.0 * 8.0)
+    min_s = 0.05 * scale * reps
     results = []
     for gi, g in enumerate(float(x) for x in args.guards.split(",")):
         guard = jnp.float32(g)
@@ -92,14 +101,29 @@ def main():
         r.T_camera_lidar.t.block_until_ready()
         if gi == 0:
             print("# compiled", file=sys.stderr)
-        eps = jnp.asarray([1e-6 * (gi + 3), 0, 0, 0, 0, 0], jnp.float32)
-        t0 = time.perf_counter()
-        r = chain(kfs, se3.compose(T0, se3.exp(eps)), guard, reps)
-        r.T_camera_lidar.t.block_until_ready()
-        dt = (time.perf_counter() - t0) / reps
+        walls = []
+        attempt = 0
+        while len(walls) < 3 and attempt < 6:
+            eps = jnp.asarray(
+                [1e-6 * (10 * gi + attempt + 3), 0, 0, 0, 0, 0], jnp.float32
+            )
+            t0 = time.perf_counter()
+            r = chain(kfs, se3.compose(T0, se3.exp(eps)), guard, reps)
+            r.T_camera_lidar.t.block_until_ready()
+            wall = time.perf_counter() - t0
+            attempt += 1
+            if wall < min_s:
+                print(
+                    f"# bogus axon wall for guard {g} ({wall * 1e3:.2f} ms < "
+                    f"{min_s * 1e3:.0f} ms floor) — retrying", file=sys.stderr,
+                )
+                continue
+            walls.append(wall / reps)
+        dt = sorted(walls)[len(walls) // 2] if walls else float("nan")
         row = {
             "guard": g,
             "refine_s": round(dt, 4),
+            "refine_s_calls": [round(w, 4) for w in walls],
             "frames_per_s_refine_only": round(k / dt, 3),
             "nid": round(float(r.nid), 4),
             "evaluations": int(r.evaluations),

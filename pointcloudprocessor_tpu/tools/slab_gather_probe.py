@@ -1,0 +1,210 @@
+"""Probe the building blocks of the grouped slab tap-gather (round 4).
+
+Round 3 established (README "NID kernel cost anatomy") that `jnp.take` of
+(N, 2) int32 rows costs ~10 ns per INDEX on the TPU gather emitter,
+invariant to table size / index order / layout — 20.5 ms for the 2.1M rows
+of one NID evaluation. The round-4 design routes around the per-index cost
+by gathering few, WIDE rows: raster-sorted points are grouped (G points per
+group), each group fetches one aligned slab-pair (2*SLAB consecutive table
+rows, reshaped so a slab is ONE take row of SLAB*2 int32), and the
+group-local per-point selection runs on the MXU/VPU inside a Pallas kernel.
+
+This probe measures, on the current backend (run it on the real chip):
+
+  1. take-width sweep: wall time of `jnp.take` at a fixed total byte volume
+     as row width grows (8 B .. 32 KB per row) — is the emitter cost per
+     index (wide rows amortize it) or per byte?
+  2. group-span distribution on the actual bench scene: for G-point groups
+     of raster-sorted culled points, the table-row span percentiles and the
+     overflow fraction vs candidate SLAB sizes (window = 2 slabs, base
+     aligned down) — sizes the static slab and validates that the
+     full-gather fallback would be rare.
+
+Timing uses the chained-repetition protocol (CLAUDE.md): reps are chained
+inside one jit with a data dependence through the gathered values, median
+of 3 calls, with a bandwidth-derived floor tripwire.
+
+Usage: python -m pointcloudprocessor_tpu.tools.slab_gather_probe
+           [--quick] [--reps 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--skip-scene", action="store_true",
+                    help="only the take-width sweep (no bench scene build)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception as e:  # pragma: no cover
+        print(f"# cache unavailable: {e}", file=sys.stderr)
+
+    reps = args.reps
+
+    # ------------------------------------------------------------------
+    # 1. take-width sweep at (roughly) constant gathered byte volume.
+    # ------------------------------------------------------------------
+    # Control row: the NID tap gather shape per keyframe (262144 indices of
+    # (2,) int32 rows from a 12.3M-row table). Wide rows: the same table
+    # reshaped to (R/S, S*2) with ~N/16 group indices.
+    R = 12_288_000 if not args.quick else 1_228_800
+    N = 262_144 if not args.quick else 32_768
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def chain_take(table, idx, reps):
+        def body(i, carry):
+            idx_c, acc = carry
+            out = jnp.take(table, idx_c, axis=0)
+            # Data dependence: the next iteration's indices depend on this
+            # iteration's output (always +0), so XLA cannot hoist/elide.
+            dep = out.ravel()[0] & jnp.int32(0)
+            return (idx_c + dep, acc + out.ravel()[-1])
+
+        _, acc = jax.lax.fori_loop(0, reps, body, (idx, jnp.int32(0)))
+        return acc
+
+    def timed(fn, floor_s, tag):
+        walls = []
+        tries = 0
+        while len(walls) < 3 and tries < 6:
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn())
+            dt = time.perf_counter() - t0
+            tries += 1
+            if dt < floor_s:
+                print(f"# bogus wall for {tag}: {dt*1e3:.3f} ms < floor "
+                      f"{floor_s*1e3:.3f} ms — retry", file=sys.stderr)
+                continue
+            walls.append(dt)
+        return sorted(walls)[len(walls) // 2] / reps if walls else float("nan")
+
+    key = jax.random.PRNGKey(0)
+    results = []
+    # (slab_rows_per_take_row, n_indices): slab=1 is the per-point control.
+    cases = [
+        (1, N),          # control: today's per-point row gather
+        (64, N // 16),   # 512 B rows
+        (256, N // 16),  # 2 KB rows
+        (1024, N // 16),  # 8 KB rows — the design point (G=16)
+        (4096, N // 64),  # 32 KB rows — coarse-stride design point
+    ]
+    for slab, n_idx in cases:
+        rows = R // slab
+        table = jnp.arange(rows * slab * 2, dtype=jnp.int32).reshape(rows, slab * 2)
+        # Sorted indices spread over the table (mimicking group bases).
+        idx = jnp.sort(jax.random.randint(key, (n_idx,), 0, rows, jnp.int32))
+        table, idx = jax.block_until_ready((table, idx))
+        bytes_out = n_idx * slab * 2 * 4
+        floor = max(bytes_out / 1.6e12, 2e-5) * reps  # 2x HBM peak as floor
+        chain_take(table, idx, reps).block_until_ready()  # compile
+        dt = timed(lambda: chain_take(table, idx, reps), floor, f"slab{slab}")
+        row = {
+            "probe": "take_width",
+            "slab_rows": slab,
+            "n_indices": n_idx,
+            "row_bytes": slab * 2 * 4,
+            "gathered_mb": round(bytes_out / 1e6, 1),
+            "ms": round(dt * 1e3, 3),
+            "ns_per_index": round(dt / n_idx * 1e9, 2),
+            "gb_per_s": round(bytes_out / dt / 1e9, 1),
+        }
+        results.append(row)
+        print(json.dumps(row))
+
+    # ------------------------------------------------------------------
+    # 2. group-span distribution on the bench scene.
+    # ------------------------------------------------------------------
+    if not args.skip_scene:
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))))
+        from bench import build_bench_scene
+
+        from ..core import se3
+        from ..models import camera as cam
+        from ..opt import nid
+
+        if args.quick:
+            width, height, n_map, n_cull, k = 512, 384, 100_000, 32_768, 4
+        else:
+            width, height, n_map, n_cull, k = 4096, 3000, 1_000_000, 262_144, 8
+
+        camera, poses, points, inten, valid, images, kfs, T0 = build_bench_scene(
+            width, height, n_map, n_cull, k
+        )
+        kfs = nid.sort_by_raster(camera, T0, kfs)
+
+        @functools.partial(jax.jit, static_argnames=("stride",))
+        def span_stats(kfs_pts, kfs_valid, q, t, stride: int = 1):
+            def one(pts, vld):
+                pts_cam = se3.transform_points(se3.SE3(q, t), pts[::stride])
+                proj = cam.project(camera, pts_cam)
+                knot = jnp.floor(proj).astype(jnp.int32)
+                inb = (
+                    vld[::stride]
+                    & (knot[:, 0] >= 0) & (knot[:, 0] < camera.width)
+                    & (knot[:, 1] >= 0) & (knot[:, 1] < camera.height)
+                    & (pts_cam[:, 2] > 0)
+                )
+                anchor = knot[:, 1] * camera.width + knot[:, 0]
+                return anchor, inb
+
+            anchors, inb = jax.vmap(one)(kfs_pts, kfs_valid)
+            G = 16
+            n = anchors.shape[1] - anchors.shape[1] % G
+            a = anchors[:, :n].reshape(-1, G)
+            ok = inb[:, :n].reshape(-1, G)
+            big = jnp.int32(2**31 - 1)
+            lo = jnp.min(jnp.where(ok, a, big), axis=1)
+            hi = jnp.max(jnp.where(ok, a, jnp.int32(-1)), axis=1)
+            has = jnp.any(ok, axis=1)
+            span = jnp.where(has, hi - lo, 0)
+            ovf = {}
+            for slab in (512, 1024, 2048, 4096, 8192):
+                base = (lo // slab) * slab
+                bad = jnp.any(ok & (a >= base[:, None] + 2 * slab), axis=1) & has
+                ovf[slab] = jnp.mean(bad.astype(jnp.float32))
+            return span, ovf
+
+        import numpy as np
+
+        for stride in (1, 4):
+            span, ovf = jax.block_until_ready(
+                span_stats(kfs.points, kfs.valid, T0.q, T0.t, stride=stride)
+            )
+            s = np.sort(np.asarray(span))
+            row = {
+                "probe": "group_span",
+                "stride": stride,
+                "G": 16,
+                "p50": int(s[len(s) // 2]),
+                "p90": int(s[int(len(s) * 0.9)]),
+                "p99": int(s[int(len(s) * 0.99)]),
+                "p999": int(s[int(len(s) * 0.999)]),
+                "max": int(s[-1]),
+                "overflow_frac_by_slab": {
+                    str(k_): float(v) for k_, v in ovf.items()
+                },
+            }
+            print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()
