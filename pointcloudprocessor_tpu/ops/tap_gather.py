@@ -65,13 +65,18 @@ def default_slab(n_rows: int, n_idx: int, group: int) -> int:
     """Static slab size from the mean table-rows-per-index density.
 
     The window (2 slabs, base aligned down to a slab multiple) guarantees
-    coverage of spans up to ``slab + 1`` rows; typical group span is
-    ``group * n_rows / n_idx``, so a power-of-two at or above that leaves
-    the measured p99.9 span (probe: ~2-3x the mean) inside the window's
-    typical coverage (~1.5 * slab) with the repair pass absorbing the tail.
+    coverage of spans up to ``slab + 1`` rows. Group spans are HEAVY-TAILED
+    (measured on the full-scale bench scene, `tools/slab_gather_probe`:
+    p50 = 0.8x the mean*group, p90 = 1.7x, p99 = 3.9x, p99.9 = 9.5x — the
+    tail comes from culled-set coverage holes, e.g. occluder shadows), so
+    the slab targets ~2.7x the mean (pow2ceil of 2x): measured overflow at
+    that size is ~1% of groups, which the bounded repair pass absorbs
+    (`repair_groups` scales with the group count). A mean-sized slab
+    (factor 1) measured 6.3% overflow — past any sane repair bound, i.e.
+    permanent full-fallback.
     """
     density = max(n_rows // max(n_idx, 1), 1)
-    return min(max(_pow2ceil(group * density), 512), 1 << 16)
+    return min(max(_pow2ceil(2 * group * density), 512), 1 << 16)
 
 
 def _select_kernel(w0_ref, w1_ref, offs_ref, out_ref, *, slab: int, group: int):
@@ -169,7 +174,7 @@ def grouped_take(
     *,
     group: int = 16,
     slab: int | None = None,
-    repair_groups: int = 256,
+    repair_groups: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Exact `jnp.take(table, idx, axis=0)` for every ``ok`` row (rows with
@@ -210,6 +215,11 @@ def grouped_take(
     ovf_pt = ok2 & (offs >= 2 * slab)
     ovf_grp = jnp.any(ovf_pt, axis=1)
     n_ovf = jnp.sum(ovf_grp.astype(jnp.int32))
+    if repair_groups is None:
+        # ~1.5% of groups: above the measured ~1% overflow at the default
+        # slab, well below top_k's cost cliff (probe: k in the low
+        # thousands over ~131k flags is cheap).
+        repair_groups = max(256, ng // 64)
     f_rep = min(repair_groups, ng)
 
     def fast(_):

@@ -135,6 +135,7 @@ def refine_pose(
     frozen solve reaches an objective value at parity with the exact solve
     (tests/test_nid.py).
     """
+    coarse_loss_fn = loss_fn
     if loss_fn is multi_nid_loss:
         # Pose-independent tap tables: built once here, reused by every
         # objective evaluation inside the solver loops.
@@ -143,6 +144,12 @@ def refine_pose(
         # (the partial is created inside the trace, so the jit cache keys
         # on `use_grouped_gather`, not on partial identity).
         loss_fn = functools.partial(multi_nid_loss, use_grouped=use_grouped_gather)
+        # The coarse phase's strided subsample multiplies sorted-point
+        # gaps by the stride: measured at stride 4 (slab_gather_probe),
+        # group spans grow ~4x and the grouped windows' traffic cancels
+        # the subsampling's gather saving — the plain per-point take is
+        # the right gather there.
+        coarse_loss_fn = functools.partial(multi_nid_loss, use_grouped=False)
     else:
         # A custom loss (e.g. the sharded one) must bring its own frozen
         # implementation (parallel/nid_shard.make_sharded_frozen).
@@ -172,9 +179,11 @@ def refine_pose(
         evals: jnp.ndarray
         gathers: jnp.ndarray
 
-    def solve_phase(init: Outer, phase_kfs, max_iters, use_frozen) -> Outer:
+    def solve_phase(init: Outer, phase_kfs, max_iters, use_frozen,
+                    phase_loss_fn=None) -> Outer:
         objective = _guarded_objective(
-            camera, phase_kfs, bins, trust_region_trans, trust_region_rot, loss_fn
+            camera, phase_kfs, bins, trust_region_trans, trust_region_rot,
+            phase_loss_fn or loss_fn,
         )
 
         def cond(st: Outer):
@@ -284,6 +293,7 @@ def refine_pose(
             _subsample_keyframes(kfs, coarse_stride),
             coarse_outer_iterations,
             use_frozen=False,
+            phase_loss_fn=coarse_loss_fn,
         )
         # Fine phase starts from the coarse pose with a reset iteration /
         # convergence state (the coarse phase only warms the initial guess).

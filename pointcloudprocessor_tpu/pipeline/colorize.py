@@ -62,6 +62,11 @@ def observe_keyframe(
     saturation_scale: float = 1.0,
     brightness_scale: float = 1.0,
     reference_compat_orientation: bool = False,
+    culling_method: str = "zbuffer",
+    hpr_radius: float = 90000.0,
+    hpr_tolerance: float = 0.05,
+    hpr_impl: str = "auto",
+    hpr_dense_cutoff: int = 100_000,
 ) -> KeyframeObservation:
     """Project the map into one keyframe: cull, sample colors, score.
 
@@ -70,6 +75,14 @@ def observe_keyframe(
     All per-point intermediates flow as separate 1D arrays (u, v, z, range)
     — materialized (N, 2)/(N, 3) stacks waste the TPU lane dimension and
     cost ~5x on this path.
+
+    ``culling_method`` selects the visibility test, mirroring the refine
+    path's `CullingConfig.method`: the reference runs its ONE culling
+    (`ViewCulling::cull`, qhull HPR on the active path) in colorization
+    too (`PointCloudProcessor.cpp:527`) — so when the pipeline is
+    configured for HPR culling, the fusion's per-keyframe visibility must
+    be the HPR mask as well, or fused colors diverge from the reference
+    at occlusion shadow boundaries (golden-occluded parity).
     """
     x, y, z = se3.transform_xyz(
         T_camera_world,
@@ -79,10 +92,26 @@ def observe_keyframe(
     )
     rng = jnp.sqrt(x * x + y * y + z * z)
     u, v = cam.project_xyz(camera, x, y, z)
-    vis = zbuffer.cull_mask_uv(
-        camera, u, v, z, rng, valid,
-        downsample_factor=downsample_factor, depth_epsilon=depth_epsilon,
-    )
+    if culling_method == "hpr":
+        from ..ops import hpr as hpr_ops
+
+        pts_cam = jnp.stack([x, y, z], axis=-1)
+        gate = (
+            valid
+            & (z > 0.0)
+            & (u >= 0) & (u < camera.width)
+            & (v >= 0) & (v < camera.height)
+        )
+        impl = hpr_impl
+        if impl == "auto":
+            impl = "grid" if points_world.shape[0] > hpr_dense_cutoff else "dense"
+        fn = hpr_ops.hpr_mask_grid if impl == "grid" else hpr_ops.hpr_mask
+        vis = fn(pts_cam, gate, radius=hpr_radius, tolerance=hpr_tolerance)
+    else:
+        vis = zbuffer.cull_mask_uv(
+            camera, u, v, z, rng, valid,
+            downsample_factor=downsample_factor, depth_epsilon=depth_epsilon,
+        )
 
     h, w = image_rgb.shape[0], image_rgb.shape[1]
     ui = jnp.clip(u.astype(jnp.int32), 0, w - 1)
@@ -189,6 +218,11 @@ class FusionResult(NamedTuple):
         "brightness_scale",
         "reference_compat_orientation",
         "with_masks",
+        "culling_method",
+        "hpr_radius",
+        "hpr_tolerance",
+        "hpr_impl",
+        "hpr_dense_cutoff",
     ),
 )
 def fuse(
@@ -209,6 +243,11 @@ def fuse(
     brightness_scale: float = 1.0,
     reference_compat_orientation: bool = False,
     with_masks: bool = False,
+    culling_method: str = "zbuffer",
+    hpr_radius: float = 90000.0,
+    hpr_tolerance: float = 0.05,
+    hpr_impl: str = "auto",
+    hpr_dense_cutoff: int = 100_000,
 ) -> FusionResult:
     """Colorize the map from all keyframes and blend top-K observations.
 
@@ -255,6 +294,11 @@ def fuse(
             saturation_scale=saturation_scale,
             brightness_scale=brightness_scale,
             reference_compat_orientation=reference_compat_orientation,
+            culling_method=culling_method,
+            hpr_radius=hpr_radius,
+            hpr_tolerance=hpr_tolerance,
+            hpr_impl=hpr_impl,
+            hpr_dense_cutoff=hpr_dense_cutoff,
         )
         topk = fusion.update_topk(topk, obs.score, obs.rgb_packed, obs.visible)
         s = jnp.where(obs.visible, obs.score, -jnp.inf)

@@ -472,6 +472,15 @@ def _process_stages(cfg, camera, filtered_dir, result, timings, metrics):
         brightness_scale=cfg.fusion.brightness_scale,
         reference_compat_orientation=cfg.fusion.reference_compat_orientation,
         with_masks=with_masks,
+        # The reference colorizes through the SAME ViewCulling as the
+        # refine path (`PointCloudProcessor.cpp:527`): honor the configured
+        # method here too, or fused colors diverge from the oracle at
+        # occlusion shadow boundaries (tests/test_golden_occluded.py).
+        culling_method=cfg.culling.method,
+        hpr_radius=cfg.culling.hidden_points_removal_max_z,
+        hpr_tolerance=cfg.culling.hpr_tolerance,
+        hpr_impl=cfg.culling.hpr_impl,
+        hpr_dense_cutoff=cfg.culling.hpr_dense_cutoff,
     )
     timings["colorize_fuse"] = time.perf_counter() - t0
     metrics.log(

@@ -82,18 +82,39 @@ def build_scene(width, height, n_pts, k):
     return camera, kfs
 
 
-@functools.partial(jax.jit, static_argnames=("reps",))
-def timed_val_grad(camera, kfs, xi0, reps):
+@functools.partial(jax.jit, static_argnames=("reps", "use_grouped"))
+def timed_val_grad(camera, kfs, xi0, reps, use_grouped=None):
     """Sum of `reps` chained value+grad evaluations (serialized by a data
-    dependence through xi, mimicking optimizer iterates)."""
+    dependence through xi, mimicking optimizer iterates). ``use_grouped``
+    A/Bs the round-4 grouped slab gather (ops/tap_gather) against the
+    per-point take."""
 
     def loss(x):
-        return nid.multi_nid_loss(camera, se3.exp(x), kfs)
+        return nid.multi_nid_loss(camera, se3.exp(x), kfs, use_grouped=use_grouped)
 
     def body(_, carry):
         x, acc = carry
         v, g = jax.value_and_grad(loss)(x)
         return (x + 1e-7 * g, acc + v)
+
+    return jax.lax.fori_loop(0, reps, body, (xi0, jnp.float32(0.0)))
+
+
+@functools.partial(jax.jit, static_argnames=("reps", "use_grouped"))
+def timed_gather_flat(camera, kfs, xi0, reps, use_grouped):
+    """Gather-only via the production `_gather_taps` path (flattened over
+    keyframes; grouped or per-point take)."""
+
+    def one_eval(x):
+        T = se3.exp(x)
+        proj, knot, inl = nid._project_all(camera, T, kfs)
+        taps = nid._gather_taps(camera, kfs, knot, inl, use_grouped)
+        return jnp.sum(taps.astype(jnp.float32))
+
+    def body(_, carry):
+        x, acc = carry
+        s = one_eval(x)
+        return (x + 1e-12 * s, acc + s)
 
     return jax.lax.fori_loop(0, reps, body, (xi0, jnp.float32(0.0)))
 
@@ -175,6 +196,21 @@ def main():
     e_rand = run_case(timed_val_grad, camera, kfs_rand, r, "value+grad, map order")
     e_sort = run_case(timed_val_grad, camera, kfs_sorted, r, "value+grad, raster order")
 
+    # Round-4 grouped slab gather (ops/tap_gather) A/B on the production
+    # path: grouped on sorted points is the design point; grouped on MAP
+    # order must fall back to the plain take (sanity: ~= g_rand).
+    def with_grouped(fn, grouped):
+        return lambda c, kk, x, rr: fn(c, kk, x, rr, use_grouped=grouped)
+
+    gg_sort = run_case(with_grouped(timed_gather_flat, True), camera, kfs_sorted,
+                       r, "gather GROUPED, raster order")
+    gg_rand = run_case(with_grouped(timed_gather_flat, True), camera, kfs_rand,
+                       r, "gather grouped-fallback, map order")
+    ge_sort = run_case(with_grouped(timed_val_grad, True), camera, kfs_sorted,
+                       r, "value+grad GROUPED, raster order")
+    gd_sort = run_case(with_grouped(timed_val_grad, False), camera, kfs_sorted,
+                       r, "value+grad direct take, raster order")
+
     print(json.dumps({
         "metric": "nid_eval_ms",
         "map_order_ms": round(e_rand, 2),
@@ -182,6 +218,11 @@ def main():
         "speedup": round(e_rand / e_sort, 2),
         "gather_map_ms": round(g_rand, 2),
         "gather_raster_ms": round(g_sort, 2),
+        "grouped_gather_ms": round(gg_sort, 2),
+        "grouped_gather_fallback_ms": round(gg_rand, 2),
+        "grouped_eval_ms": round(ge_sort, 2),
+        "direct_eval_ms": round(gd_sort, 2),
+        "grouped_eval_speedup": round(gd_sort / ge_sort, 2),
         "backend": jax.default_backend(),
         "scale": f"{k}x{n_pts}@{width}x{height}",
     }))

@@ -70,23 +70,33 @@ def main():
 
     @functools.partial(jax.jit, static_argnames=("reps",))
     def chain_take(table, idx, reps):
+        # CHAIN RULES (learned the hard way — the first version of this
+        # probe used `out[0] & 0` as the dependence and `out[-1]` as the
+        # consumer: XLA folded the AND to zero, DCE'd all but one gathered
+        # element, and LICM'd the loop — the "timings" were of nothing):
+        #   1. consume EVERY gathered element (jnp.sum), so no row is dead;
+        #   2. derive the next indices from a value XLA cannot constant-fold
+        #      (total & 1 of unknown data), so iterations truly serialize.
         def body(i, carry):
             idx_c, acc = carry
             out = jnp.take(table, idx_c, axis=0)
-            # Data dependence: the next iteration's indices depend on this
-            # iteration's output (always +0), so XLA cannot hoist/elide.
-            dep = out.ravel()[0] & jnp.int32(0)
-            return (idx_c + dep, acc + out.ravel()[-1])
+            total = jnp.sum(out)  # int32 wraparound is fine; depends on all
+            bump = total & jnp.int32(1)
+            nrows = table.shape[0]
+            return (jnp.minimum(idx_c + bump, nrows - 1), acc + total)
 
         _, acc = jax.lax.fori_loop(0, reps, body, (idx, jnp.int32(0)))
         return acc
 
     def timed(fn, floor_s, tag):
+        """fn(attempt) — MUST vary its device inputs with the attempt
+        index: repeat calls on identical buffers are the primary trigger
+        of the axon bogus-wall bug (CLAUDE.md)."""
         walls = []
         tries = 0
-        while len(walls) < 3 and tries < 6:
+        while len(walls) < 3 and tries < 9:
             t0 = time.perf_counter()
-            jax.block_until_ready(fn())
+            jax.block_until_ready(fn(tries))
             dt = time.perf_counter() - t0
             tries += 1
             if dt < floor_s:
@@ -113,9 +123,16 @@ def main():
         idx = jnp.sort(jax.random.randint(key, (n_idx,), 0, rows, jnp.int32))
         table, idx = jax.block_until_ready((table, idx))
         bytes_out = n_idx * slab * 2 * 4
-        floor = max(bytes_out / 1.6e12, 2e-5) * reps  # 2x HBM peak as floor
+        # HBM peak (~0.82 TB/s on v5e) is the physical floor for the
+        # gathered bytes; anything under it is the axon bogus-wall bug.
+        floor = max(bytes_out / 0.82e12, 2e-5) * reps
         chain_take(table, idx, reps).block_until_ready()  # compile
-        dt = timed(lambda: chain_take(table, idx, reps), floor, f"slab{slab}")
+        dt = timed(
+            lambda a: chain_take(
+                table, jnp.minimum(idx + a, rows - 1), reps
+            ),
+            floor, f"slab{slab}",
+        )
         row = {
             "probe": "take_width",
             "slab_rows": slab,
@@ -128,6 +145,34 @@ def main():
         }
         results.append(row)
         print(json.dumps(row))
+
+    # ------------------------------------------------------------------
+    # 1b. top_k cost at repair-selection shapes (sizes the bounded-repair
+    # capacity: CLAUDE.md records lax.top_k stalling at k=262k of 1M;
+    # the repair path needs k in the hundreds-to-thousands over ~131k
+    # group flags — measure where the cliff is).
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnames=("k_sel", "reps"))
+    def chain_topk(flags, k_sel, reps):
+        def body(i, carry):
+            f, acc = carry
+            vals, idxs = jax.lax.top_k(f, k_sel)
+            total = jnp.sum(idxs) + jnp.sum(vals)
+            return (f + (total & jnp.int32(1)), acc + total)
+
+        _, acc = jax.lax.fori_loop(0, reps, body, (flags, jnp.int32(0)))
+        return acc
+
+    n_flags = 131072 if not args.quick else 16384
+    flags = jax.block_until_ready(
+        jax.random.randint(jax.random.PRNGKey(7), (n_flags,), 0, 2, jnp.int32)
+    )
+    for k_sel in (256, 2048, 8192):
+        chain_topk(flags, k_sel, reps).block_until_ready()
+        dt = timed(lambda a: chain_topk(flags + a, k_sel, reps), 1e-5 * reps,
+                   f"topk{k_sel}")
+        print(json.dumps({"probe": "top_k", "n": n_flags, "k": k_sel,
+                          "ms": round(dt * 1e3, 3)}))
 
     # ------------------------------------------------------------------
     # 2. group-span distribution on the bench scene.

@@ -22,7 +22,7 @@ W, H, F = 128, 96, 120.0
 
 def write_dataset(root, with_masks=False, n_frames=3, odom_offset=(0.0, 0.0, 0.0),
                   odom_rot_offset=(0.0, 0.0, 0.0), field=intensity_field,
-                  wall_slope=0.0):
+                  wall_slope=0.0, occluder=None):
     """Map + odometry + images; image gray level = intensity field so NID has
     signal. Cameras slide along +x looking +z at a wall at z = 5 +
     wall_slope*x.
@@ -43,6 +43,13 @@ def write_dataset(root, with_masks=False, n_frames=3, odom_offset=(0.0, 0.0, 0.0
     ``field`` maps wall (x, y) in meters -> gray in [0, 1]; sharper fields
     give a sharper NID basin (the default field's 2 m period leaves a broad
     plateau — see CLAUDE.md).
+
+    ``occluder`` (None or True) adds a FOREGROUND SLAB at z=2 (x in
+    [0.35, 1.1], y in [-0.45, 0.45], its own texture) to map and images —
+    the golden-occluded chain (VERDICT r3 #4): wall points in its shadow
+    must be removed by hidden-point removal, so the engine-vs-oracle
+    parity runs a scene where occlusion culling does real work (the
+    bench scene's hardening, `bench.py`, brought to the golden dataset).
     """
     import cv2
 
@@ -51,12 +58,27 @@ def write_dataset(root, with_masks=False, n_frames=3, odom_offset=(0.0, 0.0, 0.0
     if with_masks:
         os.makedirs(root / "masks", exist_ok=True)
 
+    OCC_Z, OCC_X, OCC_Y = 2.0, (0.35, 1.1), (-0.45, 0.45)
+
+    def occ_field(ox_, oy_):
+        # Distinct texture from the wall's (same generator, remapped).
+        return field(1.7 * ox_ + 5.0, 1.7 * oy_ - 3.0)
+
     # Wall spanning the swept FoV.
     n = 6000
     x = rng.uniform(-3.5, 4.0, n)
     y = rng.uniform(-2.5, 2.5, n)
     pts = np.stack([x, y, 5.0 + wall_slope * x], -1).astype(np.float32)
     inten = np.clip(field(x, y), 0, 1).astype(np.float32)
+    if occluder:
+        n_occ = 2500
+        ox = rng.uniform(OCC_X[0], OCC_X[1], n_occ)
+        oy = rng.uniform(OCC_Y[0], OCC_Y[1], n_occ)
+        opts = np.stack([ox, oy, np.full(n_occ, OCC_Z)], -1).astype(np.float32)
+        pts = np.concatenate([pts, opts])
+        inten = np.concatenate(
+            [inten, np.clip(occ_field(ox, oy), 0, 1).astype(np.float32)]
+        )
     pcd.write(str(root / "map.pcd"), pts, intensity=inten)
 
     ox, oy, oz = odom_offset
@@ -86,6 +108,15 @@ def write_dataset(root, with_masks=False, n_frames=3, odom_offset=(0.0, 0.0, 0.0
         wx = px + s * dx
         wy = s * dy
         gray = np.clip(field(wx, wy), 0, 1)
+        if occluder:
+            # Ray hits the z=OCC_Z slab first where it covers the rect.
+            hx = px + OCC_Z * dx
+            hy = OCC_Z * dy
+            hit = (
+                (hx >= OCC_X[0]) & (hx <= OCC_X[1])
+                & (hy >= OCC_Y[0]) & (hy <= OCC_Y[1])
+            )
+            gray = np.where(hit, np.clip(occ_field(hx, hy), 0, 1), gray)
         img = (np.stack([gray] * 3, -1) * 255).astype(np.uint8)
         cv2.imwrite(str(root / "images" / f"{ts:.6f}.jpg"), img[:, :, ::-1])
         if with_masks:
