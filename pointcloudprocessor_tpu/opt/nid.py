@@ -78,6 +78,13 @@ class NIDKeyframe(NamedTuple):
     valid: jnp.ndarray  # (N,)
     bin_image: jnp.ndarray  # (H, W) int32
     tap_rows: Optional[jnp.ndarray] = None  # (H*W, 2) int32 packed nibbles
+    # Plane-concat slab table for the grouped gather (ops/tap_gather):
+    # (H*W/S, 2S) int32, row j = [word0 plane | word1 plane] of pixels
+    # jS..jS+S-1 — built ONCE per solve by prepare_keyframes, straight
+    # from the bin image (build_tap_slabs; NOT from tap_rows — (K, H*W, 2)
+    # arrays are layout-fragile at jit boundaries: the tile-padded default
+    # layout is 64x = 50 GB at bench scale, measured OOMs both ways).
+    tap_slabs: Optional[jnp.ndarray] = None
 
 
 def pack_tap_nibbles(taps: jnp.ndarray) -> jnp.ndarray:
@@ -102,14 +109,11 @@ def unpack_tap_nibbles(packed: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(taps, axis=-1).astype(jnp.int32)
 
 
-def build_tap_table(bin_image: jnp.ndarray) -> jnp.ndarray:
-    """(H, W) bin image -> (H*W, 2) int32 nibble-packed table of each pixel's
-    4x4 B-spline window values (taps dy=-1..2 outer, dx=-1..2 inner, edges
-    clamped — matching the per-tap `jnp.clip` of the direct path bit-exactly).
-
-    Packs nibbles directly into two (H, W) word planes (16 shifted ORs, a
-    pure stencil) instead of materializing the (H*W, 16) tap tensor first —
-    at 4096x3000 that intermediate alone is 786 MB of HBM traffic."""
+def _tap_word_planes(bin_image: jnp.ndarray):
+    """(H, W) bin image -> two (H, W) int32 nibble-packed word planes
+    (words 0/1 of each pixel's 4x4 B-spline window; taps dy=-1..2 outer,
+    dx=-1..2 inner, edges clamped). 16 shifted ORs, a pure stencil — no
+    (H*W, 16) intermediate (786 MB of HBM traffic at 4096x3000)."""
     h, w = bin_image.shape
     p = jnp.pad(bin_image, ((1, 2), (1, 2)), mode="edge").astype(jnp.uint32)
     words = [jnp.zeros((h, w), jnp.uint32), jnp.zeros((h, w), jnp.uint32)]
@@ -117,15 +121,59 @@ def build_tap_table(bin_image: jnp.ndarray) -> jnp.ndarray:
         dy, dx = t // 4 - 1, t % 4 - 1
         tap = p[1 + dy: 1 + dy + h, 1 + dx: 1 + dx + w]
         words[t // 8] = words[t // 8] | (tap << jnp.uint32(4 * (t % 8)))
-    return jnp.stack(words, axis=-1).reshape(h * w, 2).astype(jnp.int32)
+    return words[0].astype(jnp.int32), words[1].astype(jnp.int32)
 
 
-def prepare_keyframes(kfs: NIDKeyframe) -> NIDKeyframe:
-    """Attach precomputed tap tables (batched over the keyframe axis).
-    Idempotent; called by the optimizers at solve entry."""
-    if kfs.tap_rows is not None:
-        return kfs
-    return kfs._replace(tap_rows=jax.vmap(build_tap_table)(kfs.bin_image))
+def build_tap_table(bin_image: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) bin image -> (H*W, 2) int32 nibble-packed tap-row table
+    (see :func:`_tap_word_planes`; matches the direct path bit-exactly)."""
+    h, w = bin_image.shape
+    w0, w1 = _tap_word_planes(bin_image)
+    return jnp.stack([w0.reshape(-1), w1.reshape(-1)], axis=-1)
+
+
+def build_tap_slabs(bin_image: jnp.ndarray, slab: int) -> jnp.ndarray:
+    """(H, W) bin image -> (H*W/slab, 2*slab) int32 PLANE-CONCAT slab table
+    for the grouped gather: row j = [word0 of pixels jS..jS+S-1 | word1 of
+    the same pixels]. Built straight from the word planes — never through
+    the (H*W, 2) interleaved table, whose (K, R, 2) stack is layout-fragile
+    at jit/op boundaries (the tile-padded default layout is 64x = 50 GB at
+    bench scale; measured compile- AND run-time OOMs). Every shape here has
+    a 128-divisible minor dim, safe in any layout."""
+    h, w = bin_image.shape
+    r = h * w
+    assert r % slab == 0
+    w0, w1 = _tap_word_planes(bin_image)
+    return jnp.concatenate(
+        [w0.reshape(r // slab, slab), w1.reshape(r // slab, slab)], axis=1
+    )
+
+
+def prepare_keyframes(kfs: NIDKeyframe, build_slabs: bool | None = None) -> NIDKeyframe:
+    """Attach precomputed tap tables (batched over the keyframe axis) and,
+    when the shapes allow, their slab layout for the grouped gather.
+    Idempotent; called by the optimizers at solve entry.
+
+    ``build_slabs`` (None = backend default): the slab relayout costs one
+    ~2x-table-size copy per solve — skip it for callers that will not use
+    the grouped gather (CPU tests, the vmapped per-keyframe solver)."""
+    if kfs.tap_rows is None:
+        kfs = kfs._replace(tap_rows=jax.vmap(build_tap_table)(kfs.bin_image))
+    if build_slabs is None:
+        build_slabs = _use_grouped_default()
+    if build_slabs and kfs.tap_slabs is None:
+        from ..ops import tap_gather
+
+        k, r, _ = kfs.tap_rows.shape
+        n = kfs.points.shape[1]
+        slab = tap_gather.default_slab(r, n, 16)
+        if r % slab == 0 and r // slab >= 2:
+            kfs = kfs._replace(
+                tap_slabs=jax.vmap(lambda b: build_tap_slabs(b, slab))(
+                    kfs.bin_image
+                )
+            )
+    return kfs
 
 
 def sort_by_raster(
@@ -331,12 +379,16 @@ def _project_all(camera: cam.PinholeCamera, T: se3.SE3, kfs: NIDKeyframe):
 
 
 def _use_grouped_default() -> bool:
-    """Grouped slab gather on real TPU backends (the per-index take cost it
-    routes around is a TPU gather-emitter property); plain take elsewhere.
-    The grouped path is bit-exact (tests/test_tap_gather.py) but only FASTER
-    when points are raster-sorted — `opt/refine.refine_pose(sort_points=...)`
-    arranges that."""
-    return jax.default_backend() in ("tpu", "axon")
+    """Default OFF: the XLA-take windowed grouped gather is bit-exact
+    (tests/test_tap_gather.py) but MEASURED SLOWER than the per-point take
+    at bench scale (round 4, tools/nid_locality: 65 ms vs 28.6 ms per
+    value+grad eval at 8x262k) — wide-row `jnp.take` tops out at
+    ~140-215 GB/s on the TPU gather emitter, so the 2x-overlapped windows
+    cost ~30 ms before the selection kernel even runs. Kept as
+    infrastructure (opt-in via use_grouped_gather=True) while the
+    Pallas-DMA streaming variant is evaluated; see README "NID kernel cost
+    anatomy" for the recorded numbers."""
+    return False
 
 
 def _gather_taps(
@@ -362,7 +414,7 @@ def _gather_taps(
     )
     if use_grouped is None:
         use_grouped = _use_grouped_default()
-    if not use_grouped:
+    if not use_grouped or kfs.tap_slabs is None:
         return jax.vmap(lambda rows, a: jnp.take(rows, a, axis=0))(
             kfs.tap_rows, anchor
         )
@@ -370,6 +422,7 @@ def _gather_taps(
 
     k, r, c = kfs.tap_rows.shape
     n = anchor.shape[1]
+    slab = kfs.tap_slabs.shape[-1] // 2
     flat_idx = (
         anchor + jnp.arange(k, dtype=jnp.int32)[:, None] * jnp.int32(r)
     ).reshape(-1)
@@ -378,13 +431,19 @@ def _gather_taps(
         if inlier is not None
         else jnp.ones((k * n,), bool)
     )
-    taps = tap_gather.grouped_take(
-        kfs.tap_rows.reshape(k * r, c),
+    # use_grouped True -> the XLA-take windowed path; "streamed" -> the
+    # Pallas-DMA mega-window path. Kernels run in interpret mode off-TPU.
+    impl = (
+        tap_gather.grouped_take_streamed
+        if use_grouped == "streamed"
+        else tap_gather.grouped_take_slabbed
+    )
+    taps = impl(
+        kfs.tap_slabs,
         flat_idx,
         ok,
-        # Forcing the grouped path on a non-TPU backend (tests, debugging)
-        # runs the selection kernel in interpret mode.
-        interpret=not _use_grouped_default(),
+        slab=slab,
+        interpret=jax.default_backend() not in ("tpu", "axon"),
     )
     return taps.reshape(k, n, c)
 

@@ -138,8 +138,16 @@ def refine_pose(
     coarse_loss_fn = loss_fn
     if loss_fn is multi_nid_loss:
         # Pose-independent tap tables: built once here, reused by every
-        # objective evaluation inside the solver loops.
-        kfs = _nid.prepare_keyframes(kfs)
+        # objective evaluation inside the solver loops (slab layout only
+        # when the grouped gather will actually run).
+        kfs = _nid.prepare_keyframes(
+            kfs,
+            build_slabs=(
+                use_grouped_gather
+                if use_grouped_gather is not None
+                else _nid._use_grouped_default()
+            ),
+        )
         # Thread the grouped-gather choice through the default objective
         # (the partial is created inside the trace, so the jit cache keys
         # on `use_grouped_gather`, not on partial identity).

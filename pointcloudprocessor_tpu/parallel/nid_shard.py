@@ -51,7 +51,7 @@ def sharded_multi_nid_loss(
 
     kfs = prepare_keyframes(kfs)  # no-op when the solver prepared already
 
-    def local(points, intensity, valid, bin_image, tap_rows):
+    def local(points, intensity, valid, bin_image, tap_rows, tap_slabs):
         # points: (K_local, N_local, 3) etc.; bin_image: (K_local, H, W).
         # The tap gather is hoisted out of the keyframe vmap into one
         # flattened shard-local call (same restructure as
@@ -59,7 +59,8 @@ def sharded_multi_nid_loss(
         # grouped slab gather's overflow cond stays a real branch — it is
         # shard-local (no collectives inside), so devices may take
         # different branches safely.
-        lk = NIDKeyframe(points, intensity, valid, bin_image, tap_rows)
+        lk = NIDKeyframe(points, intensity, valid, bin_image, tap_rows,
+                         tap_slabs)
         proj, knot, inl = _project_all(camera, T_camera_lidar, lk)
         s = proj - knot.astype(proj.dtype)
         taps = _gather_taps(camera, lk, knot, inl)
@@ -80,11 +81,21 @@ def sharded_multi_nid_loss(
         local_sum = jnp.sum(jax.vmap(per_kf)(taps, s, intensity, inl_f))
         return jax.lax.psum(local_sum, mesh_lib.KF_AXIS)
 
+    if kfs.tap_slabs is None:
+        def local5(points, intensity, valid, bin_image, tap_rows):
+            return local(points, intensity, valid, bin_image, tap_rows, None)
+
+        fn, args, extra_specs = local5, (), ()
+    else:
+        fn = local
+        args = (kfs.tap_slabs,)
+        extra_specs = (P(mesh_lib.KF_AXIS),)  # tap_slabs (replicated over pt)
+
     # check_vma=False: the Pallas histogram kernel's out_shape carries no
     # varying-mesh-axes annotation, which trips shard_map's vma checker on
     # TPU; replication of the psum'd scalar output is guaranteed manually.
     return jax.shard_map(
-        local,
+        fn,
         mesh=mesh,
         check_vma=False,
         in_specs=(
@@ -93,9 +104,9 @@ def sharded_multi_nid_loss(
             P(mesh_lib.KF_AXIS, mesh_lib.PT_AXIS),  # valid
             P(mesh_lib.KF_AXIS),  # bin_image (replicated over pt)
             P(mesh_lib.KF_AXIS),  # tap_rows (replicated over pt)
-        ),
+        ) + extra_specs,
         out_specs=P(),
-    )(kfs.points, kfs.intensity, kfs.valid, kfs.bin_image, kfs.tap_rows)
+    )(kfs.points, kfs.intensity, kfs.valid, kfs.bin_image, kfs.tap_rows, *args)
 
 
 def make_sharded_loss(mesh: Mesh):
@@ -123,27 +134,38 @@ def make_sharded_frozen(mesh: Mesh):
     pk = P(mesh_lib.KF_AXIS)
     both = (mesh_lib.KF_AXIS, mesh_lib.PT_AXIS)
 
+    def _slab_args(kfs):
+        """(extra shard_map args, extra in_specs) for the optional slab
+        table — sharded over kf with the tap tables, replicated over pt."""
+        if kfs.tap_slabs is None:
+            return (), ()
+        return (kfs.tap_slabs,), (pk,)
+
     def make_cache(camera, T, kfs) -> TapCache:
-        def local(points, intensity, valid, tap_rows):
-            lk = NIDKeyframe(points, intensity, valid, None, tap_rows)
+        def local(points, intensity, valid, tap_rows, *slabs):
+            lk = NIDKeyframe(points, intensity, valid, None, tap_rows,
+                             slabs[0] if slabs else None)
             proj, knot, inl = _project_all(camera, T, lk)
             taps = _gather_taps(camera, lk, knot, inl)
             return taps, knot, inl.astype(proj.dtype)
 
+        args, specs = _slab_args(kfs)
         taps, knot, inlf = jax.shard_map(
             local,
             mesh=mesh,
             check_vma=False,
-            in_specs=(pkp, pkp, pkp, pk),
+            in_specs=(pkp, pkp, pkp, pk) + specs,
             out_specs=(pkp, pkp, pkp),
-        )(kfs.points, kfs.intensity, kfs.valid, kfs.tap_rows)
+        )(kfs.points, kfs.intensity, kfs.valid, kfs.tap_rows, *args)
         return TapCache(taps, knot, inlf, jnp.asarray(1, jnp.int32))
 
     def cached_loss(
         camera, T, kfs, cache, bins, guard_frac=0.25, allow_refresh=True
     ):
-        def local(points, intensity, valid, tap_rows, c_taps, c_knot, c_inl):
-            lk = NIDKeyframe(points, intensity, valid, None, tap_rows)
+        def local(points, intensity, valid, tap_rows, c_taps, c_knot, c_inl,
+                  *slabs):
+            lk = NIDKeyframe(points, intensity, valid, None, tap_rows,
+                             slabs[0] if slabs else None)
             proj, knot_true, inl_true = _project_all(camera, T, lk)
 
             shift = jnp.max(
@@ -191,11 +213,12 @@ def make_sharded_frozen(mesh: Mesh):
             loss = jax.lax.psum(jnp.sum(losses), mesh_lib.KF_AXIS)
             return loss, taps, knot, inlf, stale.astype(jnp.int32)
 
+        args, specs = _slab_args(kfs)
         loss, taps, knot, inlf, inc = jax.shard_map(
             local,
             mesh=mesh,
             check_vma=False,
-            in_specs=(pkp, pkp, pkp, pk, pkp, pkp, pkp),
+            in_specs=(pkp, pkp, pkp, pk, pkp, pkp, pkp) + specs,
             out_specs=(P(), pkp, pkp, pkp, P()),
         )(
             kfs.points,
@@ -205,6 +228,7 @@ def make_sharded_frozen(mesh: Mesh):
             cache.taps,
             cache.knot,
             cache.inlier,
+            *args,
         )
         return loss, TapCache(taps, knot, inlf, cache.refreshes + inc)
 

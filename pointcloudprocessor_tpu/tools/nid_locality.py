@@ -186,8 +186,13 @@ def main():
 
     camera, kfs_rand = build_scene(width, height, n_pts, k)
     kfs_sorted = nid.sort_by_raster(camera, se3.identity(), kfs_rand)
-    kfs_rand = nid.prepare_keyframes(kfs_rand)
-    kfs_sorted = jax.block_until_ready(nid.prepare_keyframes(kfs_sorted))
+    # Jit the preparation as ONE program: eagerly, the (K, H*W, 2) tap
+    # table and its slab reshape each cross an op boundary, where XLA may
+    # pick the tile-padded (K, R, 2) layout (minor dim 2 pads to 128 lanes
+    # = 50 GB at this scale — measured OOM; see ops/tap_gather docstring).
+    prepare = jax.jit(nid.prepare_keyframes)
+    kfs_rand = prepare(kfs_rand)
+    kfs_sorted = jax.block_until_ready(prepare(kfs_sorted))
     print("# scene built", file=sys.stderr)
 
     r = args.reps
@@ -206,8 +211,12 @@ def main():
                        r, "gather GROUPED, raster order")
     gg_rand = run_case(with_grouped(timed_gather_flat, True), camera, kfs_rand,
                        r, "gather grouped-fallback, map order")
+    gs_sort = run_case(with_grouped(timed_gather_flat, "streamed"), camera,
+                       kfs_sorted, r, "gather STREAMED, raster order")
     ge_sort = run_case(with_grouped(timed_val_grad, True), camera, kfs_sorted,
                        r, "value+grad GROUPED, raster order")
+    gse_sort = run_case(with_grouped(timed_val_grad, "streamed"), camera,
+                        kfs_sorted, r, "value+grad STREAMED, raster order")
     gd_sort = run_case(with_grouped(timed_val_grad, False), camera, kfs_sorted,
                        r, "value+grad direct take, raster order")
 
@@ -220,9 +229,12 @@ def main():
         "gather_raster_ms": round(g_sort, 2),
         "grouped_gather_ms": round(gg_sort, 2),
         "grouped_gather_fallback_ms": round(gg_rand, 2),
+        "streamed_gather_ms": round(gs_sort, 2),
         "grouped_eval_ms": round(ge_sort, 2),
+        "streamed_eval_ms": round(gse_sort, 2),
         "direct_eval_ms": round(gd_sort, 2),
         "grouped_eval_speedup": round(gd_sort / ge_sort, 2),
+        "streamed_eval_speedup": round(gd_sort / gse_sort, 2),
         "backend": jax.default_backend(),
         "scale": f"{k}x{n_pts}@{width}x{height}",
     }))

@@ -20,7 +20,8 @@ import time
 
 
 def run_once(n_devices: int, k: int, n_points: int, width: int, height: int,
-             inner: int, outer: int, kf_ax: int | None = None, frozen=False) -> dict:
+             inner: int, outer: int, kf_ax: int | None = None, frozen=False,
+             c2f=False) -> dict:
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -86,6 +87,11 @@ def run_once(n_devices: int, k: int, n_points: int, width: int, height: int,
             camera, kfs, T0, mesh,
             max_inner_iterations=inner, max_outer_iterations=outer,
             frozen_taps=frozen,
+            # --c2f: the bench headline's frozen+coarse-to-fine schedule,
+            # multi-device twin (VERDICT r3 #3). Stride 2 keeps the
+            # subsampled shard divisible at every mesh shape.
+            coarse_outer_iterations=1 if c2f else 0,
+            coarse_stride=2,
         )
         fused = fusion_shard.fuse_sharded(
             camera, map_pts, map_valid, images, poses, res.T_camera_lidar, mesh,
@@ -123,6 +129,10 @@ def main(argv=None) -> int:
                     help="run the refine with frozen_taps=True (the guarded "
                          "frozen-gather objective; cache shards with the "
                          "points, parallel/nid_shard.make_sharded_frozen)")
+    ap.add_argument("--c2f", action="store_true",
+                    help="coarse-to-fine schedule (1 coarse outer, stride 2) "
+                         "— with --frozen this is the bench headline's "
+                         "frozen+c2f config, multi-device")
     ap.add_argument("--sweep-shapes", action="store_true",
                     help="also sweep every (kf x pt) mesh factorization at "
                     "the max device count and assert NID equality")
@@ -144,7 +154,8 @@ def main(argv=None) -> int:
     results = []
     for c in counts:
         r = run_once(c, args.keyframes, args.points, args.width, args.height,
-                     args.inner, args.outer, frozen=args.frozen)
+                     args.inner, args.outer, frozen=args.frozen,
+                     c2f=args.c2f)
         results.append(r)
         print(json.dumps(r))
     if len(results) > 1:
@@ -168,7 +179,7 @@ def main(argv=None) -> int:
         for kf_ax in [d for d in range(1, n + 1) if n % d == 0 and d <= args.keyframes]:
             r = run_once(n, args.keyframes, args.points, args.width,
                          args.height, args.inner, args.outer, kf_ax=kf_ax,
-                         frozen=args.frozen)
+                         frozen=args.frozen, c2f=args.c2f)
             shape_results.append(r)
             print(json.dumps(r))
         nids = [r["nid"] for r in shape_results]

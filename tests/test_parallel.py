@@ -140,3 +140,30 @@ def test_sharded_frozen_refine_matches_serial_frozen():
     assert abs(float(sharded.nid) - float(serial.nid)) < 1e-3, (
         float(sharded.nid), float(serial.nid))
     assert int(sharded.gathers) < int(sharded.evaluations)
+
+
+def test_sharded_frozen_c2f_matches_serial():
+    """The bench headline's frozen+coarse-to-fine schedule has a
+    multi-device twin (VERDICT r3 #3): the sharded frozen+c2f solve must
+    recover the pose and land at NID parity with its serial twin — the
+    coarse phase's strided subsample slices the SHARDED point axis."""
+    from pointcloudprocessor_tpu.opt import refine
+
+    c = simple_camera()
+    kfs = batched_keyframes(c, k=2)
+    m = mesh_lib.make_mesh(kf=2, pt=4)
+    xi = jnp.asarray([0.02, -0.015, 0.01, 0.006, -0.004, 0.008], jnp.float32)
+    kw = dict(
+        max_inner_iterations=60, max_outer_iterations=4,
+        frozen_taps=True, coarse_outer_iterations=1, coarse_stride=2,
+    )
+    sharded = nid_shard.refine_pose_sharded(c, kfs, se3.exp(xi), m, **kw)
+    serial = refine.refine_pose(c, kfs, se3.exp(xi), **kw)
+    dt, dr = se3.delta_magnitudes(sharded.T_camera_lidar, se3.identity())
+    # Loose pose sanity only (CLAUDE.md: the NID plateau makes tight
+    # pose-space bounds meaningless — measured 1.3 cm wander here); the
+    # load-bearing assertion is objective-level parity with the serial twin.
+    assert float(dt) < 0.02
+    assert float(dr) < 0.017453
+    assert abs(float(sharded.nid) - float(serial.nid)) < 1e-3, (
+        float(sharded.nid), float(serial.nid))

@@ -98,6 +98,53 @@ def test_duplicate_and_boundary_indices():
     check(make_table(r), idx, np.ones(len(idx), bool))
 
 
+def _plane_slabs(table, slab):
+    r = table.shape[0]
+    pad = (-r) % slab
+    w0 = jnp.pad(table[:, 0], (0, pad))
+    w1 = jnp.pad(table[:, 1], (0, pad))
+    n_slabs = (r + pad) // slab
+    return jnp.concatenate(
+        [w0.reshape(n_slabs, slab), w1.reshape(n_slabs, slab)], axis=1
+    )
+
+
+@pytest.mark.parametrize("case", ["dense", "sparse_tail", "unsorted", "masked"])
+def test_streamed_variant_exact(case):
+    """grouped_take_streamed (Pallas-DMA mega-window variant) must be
+    bit-identical to the plain take across the same regimes as the
+    take-windowed path: fast path, bounded repair, full fallback, masks."""
+    r = 1 << 19
+    rng = np.random.default_rng(hash(case) % 2**31)
+    n = 4096
+    if case == "dense":
+        idx = np.sort(rng.integers(0, r // 8, n))
+        ok = np.ones(n, bool)
+    elif case == "sparse_tail":
+        idx = np.sort(rng.integers(0, 2048, n))
+        idx[1024:1088] = np.sort(rng.integers(0, r, 64))
+        idx = np.sort(idx)
+        ok = np.ones(n, bool)
+    elif case == "unsorted":
+        idx = rng.integers(0, r, n)
+        ok = np.ones(n, bool)
+    else:
+        idx = np.sort(rng.integers(0, r, n))
+        ok = rng.random(n) > 0.3
+    table = make_table(r, seed=11)
+    slab = 512
+    got = tap_gather.grouped_take_streamed(
+        _plane_slabs(table, slab),
+        jnp.asarray(idx, jnp.int32),
+        jnp.asarray(ok),
+        slab=slab,
+        interpret=True,
+    )
+    want = jnp.take(table, jnp.asarray(np.minimum(idx, r - 1), jnp.int32), axis=0)
+    okm = np.asarray(ok)
+    assert np.array_equal(np.asarray(got)[okm], np.asarray(want)[okm])
+
+
 @pytest.mark.parametrize("stride", [1, 4])
 def test_matches_nid_gather_shapes(stride):
     """The shapes the NID objective actually uses: K keyframes flattened
