@@ -36,9 +36,11 @@ rows:
    each group's two window planes arrive as vregs of 128 words; a one-hot
    (G, rows) @ (rows, 128) MXU dot per u16 half-plane picks each point's
    vreg ROW, then one lane mask picks its word in each plane.
-   u16-splitting keeps the f32 selection arithmetic exact (values < 2^16;
-   one-hot products and their sums are exact in f32 at any matmul
-   precision).
+   u16-splitting keeps the f32 selection arithmetic exact — at HIGHEST
+   matmul precision: the TPU default lowers f32 dots to a single bf16
+   pass, which rounds the u16 VALUE operand (8-bit mantissa) and silently
+   corrupts the selection (found on-chip via a diverging objective;
+   interpret mode is exact f32 and hides it).
 4. Exactness is unconditional: per-point overflow (a point beyond its
    group's window — sparse/holey regions) is repaired by a bounded
    re-take of the worst ``repair_groups`` groups (top_k on per-group
@@ -124,19 +126,25 @@ def _select_kernel(w0_ref, w1_ref, offs_ref, out_ref, *, slab: int, group: int):
 
         def pick(plane):
             # u16 split in int32 space (Mosaic has no uint32->f32 cast);
-            # both halves land in [0, 65535], exact in f32, and one-hot
-            # selection sums are exact at any matmul precision.
+            # both halves land in [0, 65535], exact in f32.
             lo = (plane & jnp.int32(0xFFFF)).astype(jnp.float32)
             hi = jax.lax.shift_right_logical(plane, jnp.int32(16)).astype(
                 jnp.float32
             )
+            # HIGHEST precision: the TPU default lowers f32 dots to a
+            # SINGLE bf16 pass, which rounds u16 values (>8-bit mantissa)
+            # and silently corrupts the selection — caught on-chip by a
+            # diverging objective (interpret mode is exact f32 and hides
+            # it). These dots are tiny; exactness is non-negotiable.
             rows_lo = jax.lax.dot_general(
                 onehot, lo, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # (G, 128)
             rows_hi = jax.lax.dot_general(
                 onehot, hi, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             l_ = jnp.sum(rows_lo * sel, axis=1).astype(jnp.int32)  # (G,)
             h_ = jnp.sum(rows_hi * sel, axis=1).astype(jnp.int32)
@@ -175,10 +183,6 @@ def _local_select(w0, w1, offs, *, slab: int, group: int, interpret: bool):
         interpret=interpret,
     )(w0v, w1v, offs)
     return jnp.moveaxis(out, 1, 2)  # (Ng, G, 2)
-
-
-def _use_grouped_default() -> bool:
-    return jax.default_backend() in ("tpu", "axon")
 
 
 def _planes_lookup(table_slabs: jnp.ndarray, slab: int, idx: jnp.ndarray):
@@ -248,11 +252,18 @@ def grouped_take_slabbed(
     group: int = 16,
     repair_groups: int | None = None,
     interpret: bool = False,
+    lookup_rows=None,  # (M,) flat idx -> (M, 2); default: slab-table planes
 ) -> jnp.ndarray:
     """Hot-path grouped take over the plane-concat slab table (possibly K
     keyframes' tables stacked — the leading-dim merge is layout-free).
     Groups spanning a keyframe boundary (N not a multiple of ``group``)
-    simply overflow into the repair path — exactness is unaffected."""
+    simply overflow into the repair path — exactness is unaffected.
+
+    ``lookup_rows``: exact per-index row fetch for the repair/fallback
+    paths. The default (two element-gathers from the slab planes) costs
+    ~2x a row take — callers holding the original (R, 2) row table should
+    pass a row-take lookup so the UNSORTED-input fallback degrades to the
+    direct path's cost (measured 65.9 ms vs 28.5 ms per eval otherwise)."""
     slabs2 = table_slabs.reshape(-1, 2 * slab)
     n_slabs = slabs2.shape[0]
     n = idx.shape[0]
@@ -296,15 +307,14 @@ def grouped_take_slabbed(
         # healthy groups, which is an idempotent rewrite).
         _, rep_groups = jax.lax.top_k(ovf_grp.astype(jnp.int32), f_rep)
         rep_idx = idx_eff[rep_groups].reshape(-1)  # (f_rep*G,)
-        rep_taps = _planes_lookup(slabs2, slab, rep_idx).reshape(
-            f_rep, group, 2
-        )
+        rep_taps = lookup(rep_idx).reshape(f_rep, group, 2)
         taps = taps.at[rep_groups].set(rep_taps)
         return taps.reshape(npad, 2)
 
     def slow(_):
-        return _planes_lookup(slabs2, slab, idx)
+        return lookup(idx)
 
+    lookup = lookup_rows or (lambda i: _planes_lookup(slabs2, slab, i))
     taps = jax.lax.cond(n_ovf > f_rep, slow, fast, None)
     return taps[:n]
 
@@ -330,18 +340,20 @@ _WBLK = 64  # table slab-rows per mega-block
 _SUBROWS = 4  # slab-rows per group sub-window
 
 
-def _streamed_kernel(blk0_ref, ta_ref, tb_ref, rel_ref, offs_ref, out_ref,
+def _streamed_kernel(blk0_ref, rel_ref, ta_ref, tb_ref, offs_ref, out_ref,
                      win_ref, *, slab: int, group: int):
     """One step: assemble the 2-block window, select every group's taps.
 
+    blk0/rel arrive as SCALAR-PREFETCH refs (full SMEM arrays — blocked
+    SMEM operands hit the (8,128) divisibility rule): rel is flattened
+    (n_steps*SPG,), indexed as rel_ref[i*SPG + g].
     ta/tb: (WBLK, 2*slab//128, 128) int32 mega-blocks (plane-concat rows).
-    rel: (1, SPG) int32 in SMEM — per-group sub-window start (slab-rows,
-        relative to the window).
     offs: (1, SPG, G) int32 — per-point table-row offset within the
         sub-window, pre-clamped to [0, SUBROWS*slab).
     out: (1, SPG, 2, G) int32.
     win_ref: VMEM scratch (2*WBLK, 2*slab//128, 128).
     """
+    i = pl.program_id(0)
     wpr = 2 * slab // 128  # vreg-rows per slab-row (both planes)
     win_ref[: _WBLK] = ta_ref[:]
     win_ref[_WBLK:] = tb_ref[:]
@@ -349,7 +361,7 @@ def _streamed_kernel(blk0_ref, ta_ref, tb_ref, rel_ref, offs_ref, out_ref,
     half = nsub // 2  # per plane
     offs_all = offs_ref[0]  # (SPG, G)
     for g in range(_SPG):
-        sub = win_ref[pl.ds(rel_ref[0, g], _SUBROWS)]  # (SUBROWS, wpr, 128)
+        sub = win_ref[pl.ds(rel_ref[i * _SPG + g], _SUBROWS)]  # (SUBROWS, wpr, 128)
         p0 = sub[:, : wpr // 2].reshape(half, 128)  # word0 plane
         p1 = sub[:, wpr // 2:].reshape(half, 128)  # word1 plane
 
@@ -375,9 +387,17 @@ def _streamed_kernel(blk0_ref, ta_ref, tb_ref, rel_ref, offs_ref, out_ref,
         lo0, hi0 = split(p0)
         lo1, hi1 = split(p1)
         rhs = jnp.concatenate([lo0, hi0, lo1, hi1], axis=1)  # (half, 512)
+        # HIGHEST precision, non-negotiable: the TPU DEFAULT dot is a
+        # single bf16 pass that rounds u16 values (>8-bit mantissa) and
+        # silently corrupts the taps (found on-chip via a diverging
+        # objective — interpret mode is exact f32 and hides it), and
+        # Mosaic does not lower Precision.HIGH (bf16x3, which would also
+        # be exact for one-hot selection). nid_locality's accumulator
+        # tripwire re-verifies exactness on-chip.
         rows = jax.lax.dot_general(
             onehot, rhs, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (G, 512)
 
         def pick(j):
@@ -400,6 +420,7 @@ def grouped_take_streamed(
     group: int = 32,
     repair_groups: int | None = None,
     interpret: bool = False,
+    lookup_rows=None,  # see grouped_take_slabbed
 ) -> jnp.ndarray:
     """Streamed grouped take: same contract as :func:`grouped_take_slabbed`,
     windows delivered by the Pallas pipeline's DMA instead of XLA takes."""
@@ -458,27 +479,24 @@ def grouped_take_streamed(
 
     def fast(_):
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,  # blk0 (n_steps,), rel (n_steps*SPG,)
             grid=(n_steps,),
             in_specs=[
                 pl.BlockSpec(
-                    (_WBLK, wpr, 128), lambda i, b: (b[i], 0, 0),
+                    (_WBLK, wpr, 128), lambda i, b, r: (b[i], 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (_WBLK, wpr, 128), lambda i, b: (b[i] + 1, 0, 0),
+                    (_WBLK, wpr, 128), lambda i, b, r: (b[i] + 1, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, _SPG), lambda i, b: (i, 0), memory_space=pltpu.SMEM
-                ),
-                pl.BlockSpec(
-                    (1, _SPG, group), lambda i, b: (i, 0, 0),
+                    (1, _SPG, group), lambda i, b, r: (i, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, _SPG, 2, group), lambda i, b: (i, 0, 0, 0),
+                (1, _SPG, 2, group), lambda i, b, r: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
@@ -492,19 +510,19 @@ def grouped_take_streamed(
                 (n_steps, _SPG, 2, group), jnp.int32
             ),
             interpret=interpret,
-        )(blk0.astype(jnp.int32), slabs_v, slabs_v, rel, offs_cl)
+        )(blk0.astype(jnp.int32), rel.reshape(-1), slabs_v, slabs_v, offs_cl)
         taps = jnp.moveaxis(out.reshape(ng, 2, group), 1, 2)  # (ng, G, 2)
 
         _, rep_groups = jax.lax.top_k(ovf_grp.astype(jnp.int32), f_rep)
         rep_idx = idx_eff.reshape(ng, group)[rep_groups].reshape(-1)
-        rep_taps = _planes_lookup(slabs2, slab, rep_idx).reshape(
-            f_rep, group, 2
-        )
+        rep_taps = lookup(rep_idx).reshape(f_rep, group, 2)
         taps = taps.at[rep_groups].set(rep_taps)
         return taps.reshape(npad, 2)
 
     def slow(_):
-        return _planes_lookup(slabs2, slab, idx)
+        return lookup(idx)
+
+    lookup = lookup_rows or (lambda i: _planes_lookup(slabs2, slab, i))
 
     taps = jax.lax.cond(n_ovf > f_rep, slow, fast, None)
     return taps[:n]

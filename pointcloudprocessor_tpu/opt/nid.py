@@ -378,17 +378,23 @@ def _project_all(camera: cam.PinholeCamera, T: se3.SE3, kfs: NIDKeyframe):
     return jax.vmap(one)(kfs.points, kfs.valid)
 
 
-def _use_grouped_default() -> bool:
-    """Default OFF: the XLA-take windowed grouped gather is bit-exact
-    (tests/test_tap_gather.py) but MEASURED SLOWER than the per-point take
-    at bench scale (round 4, tools/nid_locality: 65 ms vs 28.6 ms per
-    value+grad eval at 8x262k) — wide-row `jnp.take` tops out at
-    ~140-215 GB/s on the TPU gather emitter, so the 2x-overlapped windows
-    cost ~30 ms before the selection kernel even runs. Kept as
-    infrastructure (opt-in via use_grouped_gather=True) while the
-    Pallas-DMA streaming variant is evaluated; see README "NID kernel cost
-    anatomy" for the recorded numbers."""
-    return False
+def _use_grouped_default():
+    """Gather implementation default, chosen by on-chip A/B at bench scale
+    (round 4, tools/nid_locality, paired chained protocol with bit-exact
+    accumulator tripwires):
+
+      direct per-point take      28.5 ms / value+grad eval   (round-3 path)
+      XLA-take windowed slabs    64.6 ms  — wide-row take tops out at
+                                 ~140-215 GB/s on the gather emitter, so
+                                 the 2x-overlapped windows cost ~30 ms
+                                 before the selection kernel runs
+      Pallas-DMA STREAMED slabs  21.7 ms  — the pipeline's own block DMA
+                                 delivers the table at HBM bandwidth
+
+    -> "streamed" on real TPU backends; False (direct take) elsewhere
+    (the streamed path needs raster-sorted points — refine_pose arranges
+    that — and tap_slabs from prepare_keyframes)."""
+    return "streamed" if jax.default_backend() in ("tpu", "axon") else False
 
 
 def _gather_taps(
@@ -438,12 +444,21 @@ def _gather_taps(
         if use_grouped == "streamed"
         else tap_gather.grouped_take_slabbed
     )
+
+    def row_lookup(i):
+        # Repair/fallback row fetch from the ORIGINAL row table (a 2-D
+        # gather, one index per row): the slab-plane default would pay the
+        # per-index tax twice, so unsorted-input fallback would cost 2.3x
+        # the direct path instead of matching it (measured).
+        return kfs.tap_rows[i // r, i % r]
+
     taps = impl(
         kfs.tap_slabs,
         flat_idx,
         ok,
         slab=slab,
         interpret=jax.default_backend() not in ("tpu", "axon"),
+        lookup_rows=row_lookup,
     )
     return taps.reshape(k, n, c)
 

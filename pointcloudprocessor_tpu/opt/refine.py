@@ -105,8 +105,8 @@ def refine_pose(
     frozen_taps: bool = False,
     frozen_guard_frac: float = 0.25,  # traced (sweepable without recompile)
     frozen_impl=None,
-    sort_points: bool = True,
-    use_grouped_gather: bool | None = None,
+    sort_points: bool | None = None,
+    use_grouped_gather=None,
 ) -> RefineResult:
     """Optimize the shared camera<-lidar correction transform over keyframes.
 
@@ -135,19 +135,22 @@ def refine_pose(
     frozen solve reaches an objective value at parity with the exact solve
     (tests/test_nid.py).
     """
+    grouped_resolved = (
+        use_grouped_gather
+        if use_grouped_gather is not None
+        else _nid._use_grouped_default()
+    )
+    if sort_points is None:
+        # The raster sort exists to make the grouped gather's rows
+        # near-monotone; without the grouped path it is pure overhead
+        # (an argsort per solve) plus an f32 summation-order change.
+        sort_points = bool(grouped_resolved)
     coarse_loss_fn = loss_fn
     if loss_fn is multi_nid_loss:
         # Pose-independent tap tables: built once here, reused by every
         # objective evaluation inside the solver loops (slab layout only
         # when the grouped gather will actually run).
-        kfs = _nid.prepare_keyframes(
-            kfs,
-            build_slabs=(
-                use_grouped_gather
-                if use_grouped_gather is not None
-                else _nid._use_grouped_default()
-            ),
-        )
+        kfs = _nid.prepare_keyframes(kfs, build_slabs=bool(grouped_resolved))
         # Thread the grouped-gather choice through the default objective
         # (the partial is created inside the trace, so the jit cache keys
         # on `use_grouped_gather`, not on partial identity).

@@ -160,7 +160,7 @@ def run_case(fn, camera, kfs, reps, label):
         f" (acc {float(out[1]):.4f})",
         file=sys.stderr,
     )
-    return min(times)
+    return min(times), float(out[1])
 
 
 def main():
@@ -190,16 +190,20 @@ def main():
     # table and its slab reshape each cross an op boundary, where XLA may
     # pick the tile-padded (K, R, 2) layout (minor dim 2 pads to 128 lanes
     # = 50 GB at this scale — measured OOM; see ops/tap_gather docstring).
-    prepare = jax.jit(nid.prepare_keyframes)
+    # build_slabs=True: the grouped/streamed A/B cases need the slab table
+    # even though the production default is off — without it _gather_taps
+    # silently (and correctly) falls back to the direct take and the A/B
+    # measures nothing.
+    prepare = jax.jit(functools.partial(nid.prepare_keyframes, build_slabs=True))
     kfs_rand = prepare(kfs_rand)
     kfs_sorted = jax.block_until_ready(prepare(kfs_sorted))
     print("# scene built", file=sys.stderr)
 
     r = args.reps
-    g_rand = run_case(timed_gather, camera, kfs_rand, r, "gather-only, map order")
-    g_sort = run_case(timed_gather, camera, kfs_sorted, r, "gather-only, raster order")
-    e_rand = run_case(timed_val_grad, camera, kfs_rand, r, "value+grad, map order")
-    e_sort = run_case(timed_val_grad, camera, kfs_sorted, r, "value+grad, raster order")
+    g_rand, _ = run_case(timed_gather, camera, kfs_rand, r, "gather-only, map order")
+    g_sort, _ = run_case(timed_gather, camera, kfs_sorted, r, "gather-only, raster order")
+    e_rand, _ = run_case(timed_val_grad, camera, kfs_rand, r, "value+grad, map order")
+    e_sort, _ = run_case(timed_val_grad, camera, kfs_sorted, r, "value+grad, raster order")
 
     # Round-4 grouped slab gather (ops/tap_gather) A/B on the production
     # path: grouped on sorted points is the design point; grouped on MAP
@@ -207,18 +211,27 @@ def main():
     def with_grouped(fn, grouped):
         return lambda c, kk, x, rr: fn(c, kk, x, rr, use_grouped=grouped)
 
-    gg_sort = run_case(with_grouped(timed_gather_flat, True), camera, kfs_sorted,
-                       r, "gather GROUPED, raster order")
-    gg_rand = run_case(with_grouped(timed_gather_flat, True), camera, kfs_rand,
-                       r, "gather grouped-fallback, map order")
-    gs_sort = run_case(with_grouped(timed_gather_flat, "streamed"), camera,
-                       kfs_sorted, r, "gather STREAMED, raster order")
-    ge_sort = run_case(with_grouped(timed_val_grad, True), camera, kfs_sorted,
-                       r, "value+grad GROUPED, raster order")
-    gse_sort = run_case(with_grouped(timed_val_grad, "streamed"), camera,
-                        kfs_sorted, r, "value+grad STREAMED, raster order")
-    gd_sort = run_case(with_grouped(timed_val_grad, False), camera, kfs_sorted,
-                       r, "value+grad direct take, raster order")
+    gg_sort, _ = run_case(with_grouped(timed_gather_flat, True), camera, kfs_sorted,
+                          r, "gather GROUPED, raster order")
+    gg_rand, _ = run_case(with_grouped(timed_gather_flat, True), camera, kfs_rand,
+                          r, "gather grouped-fallback, map order")
+    gs_sort, _ = run_case(with_grouped(timed_gather_flat, "streamed"), camera,
+                          kfs_sorted, r, "gather STREAMED, raster order")
+    ge_sort, acc_g = run_case(with_grouped(timed_val_grad, True), camera, kfs_sorted,
+                              r, "value+grad GROUPED, raster order")
+    gse_sort, acc_s = run_case(with_grouped(timed_val_grad, "streamed"), camera,
+                               kfs_sorted, r, "value+grad STREAMED, raster order")
+    gd_sort, acc_d = run_case(with_grouped(timed_val_grad, False), camera, kfs_sorted,
+                              r, "value+grad direct take, raster order")
+
+    # ON-CHIP exactness tripwire: the grouped/streamed gathers are claimed
+    # bit-identical to the direct take, so the chained objective
+    # accumulators MUST match exactly. Round 4 caught a silent Mosaic
+    # divergence exactly here (the TPU default's single-bf16-pass dot
+    # rounding the u16 selection operands) that interpret-mode tests
+    # cannot see.
+    assert acc_g == acc_d, f"GROUPED diverges from direct: {acc_g} vs {acc_d}"
+    assert acc_s == acc_d, f"STREAMED diverges from direct: {acc_s} vs {acc_d}"
 
     print(json.dumps({
         "metric": "nid_eval_ms",
