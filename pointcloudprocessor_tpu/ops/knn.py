@@ -150,6 +150,24 @@ def _candidates_with_points(grid, points, query_points):
     return cand, cx, cy, cz
 
 
+def candidate_points(grid: HashGrid, query_points: jnp.ndarray):
+    """Candidate COORDINATE planes only — (cx, cy, cz) each (M, 27*B),
+    +inf in empty slots. Skips the bucket-INDEX row gather entirely: for
+    selection-free consumers (the MLS moments fit) validity is carried by
+    the +inf coordinates, and the 27M-per-Mquery index-row gathers were
+    ~pure overhead (round-4 MLS anatomy). Requires store_points=True."""
+    m = query_points.shape[0]
+    cells = voxel_coords(query_points, grid.cell_size)
+    neigh = cells[:, None, :] + _OFFSETS[None, :, :]
+    hashes = voxel_hash(neigh, grid.table_size)  # (M, 27)
+    rows = grid.bucket_points[hashes]  # (M, 27, 3B)
+    b = rows.shape[-1] // 3
+    cx = rows[..., 0 * b: 1 * b].reshape(m, -1)
+    cy = rows[..., 1 * b: 2 * b].reshape(m, -1)
+    cz = rows[..., 2 * b: 3 * b].reshape(m, -1)
+    return cx, cy, cz
+
+
 def radius_neighbors_with_points(
     grid: HashGrid,
     points: jnp.ndarray,

@@ -200,6 +200,123 @@ def project_onto(surf: MLSSurface, pts: jnp.ndarray, owner: jnp.ndarray | None =
     return pos, n
 
 
+def fit_surfaces_moments(
+    queries: jnp.ndarray,  # (M, 3)
+    cx: jnp.ndarray,  # (M, C) candidate x (+inf in empty slots)
+    cy: jnp.ndarray,
+    cz: jnp.ndarray,
+    search_radius: float,
+    sqr_gauss_param: float,
+    polynomial_order: int = 2,
+) -> MLSSurface:
+    """Selection-free MLS fit: weighted moments over ALL in-radius
+    candidates, straight from the 27-cell candidate planes.
+
+    The round-4 anatomy (tools/mls_anatomy) put 93% of the MLS pass in the
+    neighbor stage; this formulation removes its two dominant parts — the
+    `approx_min_k` selection and the bucket-INDEX row gather (validity
+    comes from the coordinate planes' +inf empties) — and also the
+    truncation to ``max_neighbors``: PCL's MovingLeastSquares fits over
+    every point the radius search returns (`cloudSmooth.cpp:124-154`
+    drives `pcl::MovingLeastSquares` with a kd-tree radius search, no
+    cap), so this is MORE reference-faithful than the top-K path. Both
+    passes (plane, then polynomial in the plane frame) reduce over the
+    candidate axis with Gaussian weights; empty/out-of-radius slots carry
+    zero weight.
+    """
+    q = queries
+    dx = cx - q[:, 0:1]
+    dy = cy - q[:, 1:2]
+    dz = cz - q[:, 2:3]
+    d2 = dx * dx + dy * dy + dz * dz
+    inr = jnp.isfinite(cz) & (d2 <= search_radius * search_radius)
+    w = jnp.where(inr, jnp.exp(-jnp.where(inr, d2, 0.0) / sqr_gauss_param), 0.0)
+    dx = jnp.where(inr, dx, 0.0)
+    dy = jnp.where(inr, dy, 0.0)
+    dz = jnp.where(inr, dz, 0.0)
+
+    wsum = jnp.maximum(jnp.sum(w, axis=1), 1e-20)  # (M,)
+    mx = jnp.sum(w * dx, axis=1) / wsum
+    my = jnp.sum(w * dy, axis=1) / wsum
+    mz = jnp.sum(w * dz, axis=1) / wsum
+    mean = q + jnp.stack([mx, my, mz], axis=-1)
+
+    # Weighted covariance about the mean (relative coords keep f32 happy).
+    ex = dx - mx[:, None]
+    ey = dy - my[:, None]
+    ez = dz - mz[:, None]
+    cxx = jnp.sum(w * ex * ex, axis=1)
+    cxy = jnp.sum(w * ex * ey, axis=1)
+    cxz = jnp.sum(w * ex * ez, axis=1)
+    cyy = jnp.sum(w * ey * ey, axis=1)
+    cyz = jnp.sum(w * ey * ez, axis=1)
+    czz = jnp.sum(w * ez * ez, axis=1)
+    C = jnp.stack(
+        [
+            jnp.stack([cxx, cxy, cxz], -1),
+            jnp.stack([cxy, cyy, cyz], -1),
+            jnp.stack([cxz, cyz, czz], -1),
+        ],
+        -2,
+    )  # (M, 3, 3)
+    normal = _smallest_eigvec_3x3(C)
+    sgn = jnp.sign(jnp.sum(normal * (q - mean), axis=-1))
+    normal = normal * jnp.where(sgn == 0, 1.0, sgn)[:, None]
+    tu, tv = _tangent_frame(normal)
+
+    cnt = jnp.sum(inr, axis=1)
+    if polynomial_order >= 2:
+        # Local-frame coordinates per candidate (rel = cand - mean).
+        rx = ex
+        ry = ey
+        rz = ez
+        u = rx * tu[:, 0:1] + ry * tu[:, 1:2] + rz * tu[:, 2:3]
+        v = rx * tv[:, 0:1] + ry * tv[:, 1:2] + rz * tv[:, 2:3]
+        h = rx * normal[:, 0:1] + ry * normal[:, 1:2] + rz * normal[:, 2:3]
+        # A = [1, u, v, u^2, uv, v^2]: A^T W A's 36 entries are weighted
+        # monomial moments M[a,b] = sum w u^a v^b with a+b <= 4 — only 15
+        # DISTINCT ones (plus 6 rhs moments), so 21 reductions over the
+        # candidate axis instead of 42; no (M, C, 6) tensor ever exists.
+        pow_u = [jnp.ones_like(u), u, u * u]
+        pow_u.append(pow_u[2] * u)
+        pow_u.append(pow_u[3] * u)
+        pow_v = [jnp.ones_like(v), v, v * v]
+        pow_v.append(pow_v[2] * v)
+        pow_v.append(pow_v[3] * v)
+        mom = {}
+        for a in range(5):
+            for b_ in range(5 - a):
+                mom[(a, b_)] = jnp.sum(w * pow_u[a] * pow_v[b_], axis=1)
+        exps = [(0, 0), (1, 0), (0, 1), (2, 0), (1, 1), (0, 2)]
+        AtA = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        mom[(exps[i][0] + exps[j][0], exps[i][1] + exps[j][1])]
+                        for j in range(6)
+                    ],
+                    -1,
+                )
+                for i in range(6)
+            ],
+            -2,
+        )  # (M, 6, 6)
+        wh = w * h
+        Ath = jnp.stack(
+            [jnp.sum(wh * pow_u[a] * pow_v[b_], axis=1) for a, b_ in exps], -1
+        )  # (M, 6)
+        ridge = 1e-8 * jnp.eye(6, dtype=q.dtype)
+        coeffs = _chol_solve(AtA + ridge, Ath)
+        coeffs = jnp.where((cnt >= 6)[:, None], coeffs, jnp.zeros_like(coeffs))
+    else:
+        coeffs = jnp.zeros(q.shape[:1] + (6,), q.dtype)
+
+    return MLSSurface(
+        origin=mean, normal=normal, tangent_u=tu, tangent_v=tv,
+        coeffs=coeffs, ok=cnt >= 3,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -210,6 +327,7 @@ def project_onto(surf: MLSSurface, pts: jnp.ndarray, owner: jnp.ndarray | None =
         "bucket_capacity",
         "table_size",
         "chunk_size",
+        "fit_impl",
     ),
 )
 def _mls_smooth_jit(
@@ -223,6 +341,7 @@ def _mls_smooth_jit(
     bucket_capacity,
     table_size,
     chunk_size,
+    fit_impl="moments",
 ):
     """One-dispatch MLS pass: grid build + `lax.map` over query chunks, each
     chunk doing neighbor query -> weighted fit -> projection. The chunking
@@ -239,12 +358,19 @@ def _mls_smooth_jit(
     qc = jnp.pad(points, ((0, pad), (0, 0))).reshape(-1, chunk_size, 3)
 
     def one(q):
-        idx, npts, _, ok = knn.radius_neighbors_with_points(
-            grid, points, q, search_radius, max_neighbors, select="approx"
-        )
-        surf = fit_surfaces(
-            points, q, idx, ok, sqr_gauss_param, polynomial_order, neigh_pts=npts
-        )
+        if fit_impl == "moments":
+            cx, cy, cz = knn.candidate_points(grid, q)
+            surf = fit_surfaces_moments(
+                q, cx, cy, cz, search_radius, sqr_gauss_param, polynomial_order
+            )
+        else:
+            idx, npts, _, ok = knn.radius_neighbors_with_points(
+                grid, points, q, search_radius, max_neighbors, select="approx"
+            )
+            surf = fit_surfaces(
+                points, q, idx, ok, sqr_gauss_param, polynomial_order,
+                neigh_pts=npts,
+            )
         pos, nrm = project_onto(surf, q)
         return surf, pos, nrm
 
@@ -258,6 +384,7 @@ def mls_smooth(
     valid: jnp.ndarray,
     cfg: MLSConfig,
     chunk_size: int = 16384,
+    fit_impl: str = "moments",
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, MLSSurface]:
     """Smooth every valid point onto its local MLS surface.
 
@@ -267,6 +394,11 @@ def mls_smooth(
     hash-grid build, neighbor queries, batched fits, projection — is a single
     jitted dispatch (the TPU replacement for PCL MLS's 30-thread kd-tree walk,
     `cloudSmooth.cpp:124-154`).
+
+    ``fit_impl``: "moments" (default) fits over ALL in-radius candidates via
+    weighted monomial moments — PCL's exact semantics (no neighbor cap) and
+    the round-4 anatomy's fix for the dominant selection cost; "topk" is the
+    round-2/3 approx_min_k path (truncates to cfg.max_neighbors).
     """
     n = points.shape[0]
     pos, nrm, surf = _mls_smooth_jit(
@@ -277,6 +409,7 @@ def mls_smooth(
         sqr_gauss_param=float(cfg.sqr_gauss_param),
         polynomial_order=int(cfg.polynomial_order),
         bucket_capacity=int(cfg.bucket_capacity),
+        fit_impl=fit_impl,
         # Half-size table: with bucket_points the table costs T*B*12 bytes,
         # and dense clouds occupy ~n/27 cells, so T=n/2 keeps the collision
         # rate negligible at a quarter of the 2n footprint.

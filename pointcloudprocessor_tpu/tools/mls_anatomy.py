@@ -82,6 +82,29 @@ def main():
         qc = jnp.pad(points, ((0, pad), (0, 0))).reshape(-1, kw["chunk_size"], 3)
 
         def one(q):
+            if stage == "cand":
+                # Candidate fetch only: the two 27-cell row gathers + d2
+                # mask (no top-k/selection) — splits the dominant "neigh"
+                # stage into gather vs selection.
+                cand, cx, cy, cz = knn._candidates_with_points(
+                    grid, points, q
+                )
+                dx = cx - q[:, 0:1]
+                dy = cy - q[:, 1:2]
+                dz = cz - q[:, 2:3]
+                d2 = dx * dx + dy * dy + dz * dz
+                inr = (cand >= 0) & (d2 <= radius * radius)
+                return jnp.sum(jnp.where(inr, d2, 0.0)) + jnp.sum(
+                    cand.astype(jnp.float32)
+                )
+            if stage == "cand_pts":
+                # Coordinate-row gather only (no bucket-index gather):
+                # what a selection-free moments formulation would pay.
+                cells = knn.voxel_coords(q, grid.cell_size)
+                neigh_c = cells[:, None, :] + knn._OFFSETS[None, :, :]
+                hashes = knn.voxel_hash(neigh_c, grid.table_size)
+                rows = grid.bucket_points[hashes]
+                return jnp.sum(jnp.where(jnp.isfinite(rows), rows, 0.0))
             idx, npts, _, ok = knn.radius_neighbors_with_points(
                 grid, points, q, radius, kw["max_neighbors"], select="approx"
             )
@@ -119,11 +142,12 @@ def main():
     # Floors: the full pass measured ~2.8 s at 1M (round 3); even the grid
     # build alone is a 1M-point sort, physically >= ~5 ms.
     scale = n / 1e6
-    floors = {"grid": 0.004 * scale, "neigh": 0.02 * scale,
+    floors = {"grid": 0.004 * scale, "cand": 0.01 * scale,
+              "cand_pts": 0.008 * scale, "neigh": 0.02 * scale,
               "fit": 0.03 * scale, "full": 0.04 * scale}
 
     results = {}
-    for stage in ("grid", "neigh", "fit", "full"):
+    for stage in ("grid", "cand_pts", "cand", "neigh", "fit", "full"):
         chain(pts0, stage, reps).block_until_ready()  # compile
         print(f"# {stage} compiled", file=sys.stderr)
         walls = []
@@ -143,12 +167,16 @@ def main():
         print(json.dumps({"stage": stage, "s": round(results[stage], 4),
                           "calls": [round(w, 4) for w in walls]}))
 
-    g, ne, fi, fu = (results[s] for s in ("grid", "neigh", "fit", "full"))
+    g, cp, ca, ne, fi, fu = (
+        results[s] for s in ("grid", "cand_pts", "cand", "neigh", "fit", "full")
+    )
     print(json.dumps({
         "metric": "mls_anatomy_s",
         "n_points": n,
         "grid_build": round(g, 4),
-        "neighbor_fetch": round(ne - g, 4),
+        "coord_row_gather": round(cp - g, 4),
+        "index_row_gather_and_mask": round(ca - cp, 4),
+        "selection_topk": round(ne - ca, 4),
         "fits": round(fi - ne, 4),
         "projection": round(fu - fi, 4),
         "full": round(fu, 4),
