@@ -212,8 +212,18 @@ def sort_by_raster(
         )
         anchor = knot[:, 1] * camera.width + knot[:, 0]
         key = jnp.where(inb, anchor, jnp.int32(2**31 - 1))
-        order = jnp.argsort(key)
-        return points[order], intensity[order], valid[order]
+        # ONE multi-operand lax.sort: the sorting network carries every
+        # payload column along with the key, so there are no permutation
+        # gathers — argsort + points[order]/intensity[order]/valid[order]
+        # paid the per-index gather tax (~10 ns/row) five times over,
+        # ~100 ms per solve at bench scale (found via the round-4 guard
+        # sweep regression).
+        _, x_, y_, z_, i_, v_ = jax.lax.sort(
+            (key, points[:, 0], points[:, 1], points[:, 2],
+             intensity, valid.astype(jnp.int8)),
+            num_keys=1,
+        )
+        return jnp.stack([x_, y_, z_], axis=-1), i_, v_.astype(bool)
 
     p, i, v = jax.vmap(one)(kfs.points, kfs.intensity, kfs.valid)
     return kfs._replace(points=p, intensity=i, valid=v)
