@@ -389,9 +389,9 @@ def _project_all(camera: cam.PinholeCamera, T: se3.SE3, kfs: NIDKeyframe):
 
 
 def _use_grouped_default():
-    """Gather implementation default, chosen by on-chip A/B at bench scale
-    (round 4, tools/nid_locality, paired chained protocol with bit-exact
-    accumulator tripwires):
+    """Gather implementation default. The full round-4 story (on-chip A/B
+    at bench scale, tools/nid_locality, paired chained protocol with
+    bit-exact accumulator tripwires):
 
       direct per-point take      28.5 ms / value+grad eval   (round-3 path)
       XLA-take windowed slabs    64.6 ms  — wide-row take tops out at
@@ -401,10 +401,20 @@ def _use_grouped_default():
       Pallas-DMA STREAMED slabs  21.7 ms  — the pipeline's own block DMA
                                  delivers the table at HBM bandwidth
 
-    -> "streamed" on real TPU backends; False (direct take) elsewhere
-    (the streamed path needs raster-sorted points — refine_pose arranges
-    that — and tap_slabs from prepare_keyframes)."""
-    return "streamed" if jax.default_backend() in ("tpu", "axon") else False
+    ...BUT the streamed win holds only while points stay raster-sorted AT
+    THE EVALUATION POSE. Measured on the bench scene: 290/65536 groups
+    overflow their sub-window at the sort pose; after the solve's 2.6 cm /
+    0.36 deg motion, 60730/65536 (93%) overflow — smooth sub-pixel v-shift
+    fields cross integer raster boundaries inside most 32-point groups,
+    splitting their anchors across +-image-width row jumps, and every
+    overflowing eval pays the fallback. In-solve, the bench measured
+    33.8 ms/eval average (slower than direct); a standalone near-sort-pose
+    eval measures 21.7 ms. Until evaluations re-sort near their own pose
+    (future work: loop-carried keyframes re-sorted per outer iteration,
+    plane-major slabs with vreg-granular windows), the DIRECT take is the
+    right default; "streamed" remains opt-in for drift-free workloads
+    (use_grouped_gather='streamed')."""
+    return False
 
 
 def _gather_taps(
