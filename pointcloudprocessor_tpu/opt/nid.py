@@ -407,13 +407,18 @@ def _use_grouped_default():
     0.36 deg motion, 60730/65536 (93%) overflow — smooth sub-pixel v-shift
     fields cross integer raster boundaries inside most 32-point groups,
     splitting their anchors across +-image-width row jumps, and every
-    overflowing eval pays the fallback. In-solve, the bench measured
-    33.8 ms/eval average (slower than direct); a standalone near-sort-pose
-    eval measures 21.7 ms. Until evaluations re-sort near their own pose
-    (future work: loop-carried keyframes re-sorted per outer iteration,
-    plane-major slabs with vreg-granular windows), the DIRECT take is the
-    right default; "streamed" remains opt-in for drift-free workloads
-    (use_grouped_gather='streamed')."""
+    overflowing eval pays the fallback. Drifted spans measured p50=29k /
+    p90=74k table rows — no static window survives. In-solve, the bench
+    measured 33.8 ms/eval average (slower than direct); a standalone
+    near-sort-pose eval measures 21.7 ms.
+
+    Re-sorting per gather doesn't rescue it either: the fused lax.sort
+    costs 9.4 ms/solve-scale call, and 9.4 (sort) + 13.7 (streamed gather)
+    = 23.1 ms > 20.5 ms (direct gather) — the streamed path cannot win on
+    a drifting workload unless the sort or the kernel gets ~2x cheaper.
+    The DIRECT take is the right default; "streamed" remains opt-in for
+    drift-free workloads (use_grouped_gather='streamed'), e.g. repeated
+    evaluation sweeps at a fixed pose."""
     return False
 
 

@@ -217,6 +217,34 @@ class TestPallasHistogram:
         np.testing.assert_allclose(float(jnp.sum(h)), n, rtol=1e-5)
 
 
+def test_gather_impls_bit_identical_through_refine():
+    """The three tap-gather implementations (direct take / XLA-take
+    windowed / Pallas-DMA streamed — ops/tap_gather, interpret-mode
+    kernels on CPU) must drive refine_pose to BIT-IDENTICAL objectives:
+    the gather is pure data movement, so any divergence is a bug (the
+    round-4 on-chip tripwire caught exactly such a silent Mosaic
+    precision divergence; this is its CPU-side twin at the solve level)."""
+    c = simple_camera()
+    pts, inten, img = nid_scene(c)
+    kf = make_keyframe(c, pts, inten, img)
+    kfs = nid.NIDKeyframe(
+        points=kf.points[None], intensity=kf.intensity[None],
+        valid=kf.valid[None], bin_image=kf.bin_image[None],
+    )
+    T0 = se3.exp(jnp.asarray([0.015, -0.01, 0.006, 0.004, -0.003, 0.005],
+                             jnp.float32))
+    # sort_points pinned True everywhere: the grouped paths auto-sort and
+    # the f32 summation ORDER is part of the exact value — only with one
+    # shared order is solve-level bit-identity the correct expectation.
+    kw = dict(max_inner_iterations=25, max_outer_iterations=2,
+              sort_points=True)
+    base = refine.refine_pose(c, kfs, T0, **kw)
+    for impl in (True, "streamed"):
+        got = refine.refine_pose(c, kfs, T0, use_grouped_gather=impl, **kw)
+        assert float(got.nid) == float(base.nid), (impl, float(got.nid),
+                                                   float(base.nid))
+
+
 def test_sort_by_raster_preserves_objective_and_gradient():
     """opt/nid.sort_by_raster permutes per-keyframe point arrays; the NID
     objective and its pose gradient are sums over points, so the sorted
