@@ -251,11 +251,18 @@ def bench_tpu(width, height, n_map, n_cull, k, inner_iters, outer_iters,
         # library default stays at the conservative 0.25.
         "frozen": dict(frozen_taps=True, frozen_guard_frac=0.75),
         # Both stacked (coarse phase runs the plain objective by design —
-        # opt/refine.py).
+        # opt/refine.py). coarse_stride=16: the round-4 schedule probe
+        # swept strides {4, 8, 16, 32} at full scale (median-of-3 chained
+        # calls each): 12.30 / 13.71 / 13.99 / 14.08 frames/s with pose
+        # error 0.60 / 0.65 / 0.41 / 1.05 cm — stride 16 is strictly
+        # better than 4 on BOTH axes (cheaper coarse evals, and the
+        # deeper-sounding stride-4 coarse phase was not buying accuracy),
+        # while stride 32's warm start degrades past the reference's 1 cm
+        # convergence bar.
         "frozen_c2f": dict(
             max_outer_iterations=max(outer_iters - 1, 1),
             coarse_outer_iterations=1,
-            coarse_stride=4,
+            coarse_stride=16,
             frozen_taps=True,
             frozen_guard_frac=0.75,
         ),
