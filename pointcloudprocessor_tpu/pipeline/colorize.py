@@ -152,6 +152,11 @@ def observe_keyframe(
         "saturation_scale",
         "brightness_scale",
         "mask_highlight_value",
+        "culling_method",
+        "hpr_radius",
+        "hpr_tolerance",
+        "hpr_impl",
+        "hpr_dense_cutoff",
     ),
 )
 def keyframe_rgb_mask(
@@ -168,6 +173,11 @@ def keyframe_rgb_mask(
     saturation_scale: float = 1.0,
     brightness_scale: float = 1.0,
     mask_highlight_value: int = 255,
+    culling_method: str = "zbuffer",
+    hpr_radius: float = 90000.0,
+    hpr_tolerance: float = 0.05,
+    hpr_impl: str = "auto",
+    hpr_dense_cutoff: int = 100_000,
 ):
     """One keyframe's colored+mask-labelled view for artifact dumps.
 
@@ -192,6 +202,11 @@ def keyframe_rgb_mask(
         depth_epsilon=depth_epsilon,
         saturation_scale=saturation_scale,
         brightness_scale=brightness_scale,
+        culling_method=culling_method,
+        hpr_radius=hpr_radius,
+        hpr_tolerance=hpr_tolerance,
+        hpr_impl=hpr_impl,
+        hpr_dense_cutoff=hpr_dense_cutoff,
     )
     rgb = fusion.unpack_rgb(obs.rgb_packed)
     highlight = obs.label == mask_highlight_value

@@ -540,6 +540,11 @@ def _process_stages(cfg, camera, filtered_dir, result, timings, metrics):
                 ),
                 downsample_factor=cfg.culling.downsample_factor,
                 depth_epsilon=cfg.culling.depth_epsilon,
+                culling_method=cfg.culling.method,
+                hpr_radius=cfg.culling.hidden_points_removal_max_z,
+                hpr_tolerance=cfg.culling.hpr_tolerance,
+                hpr_impl=cfg.culling.hpr_impl,
+                hpr_dense_cutoff=cfg.culling.hpr_dense_cutoff,
                 saturation_scale=cfg.fusion.saturation_scale,
                 brightness_scale=cfg.fusion.brightness_scale,
                 mask_highlight_value=cfg.fusion.mask_highlight_value,
