@@ -230,13 +230,22 @@ def main():
 
         import numpy as np
 
-        for stride in (1, 4):
+        # Span distributions at the SORT pose (stride 1 and the c2f coarse
+        # subsample) AND at the solve's destination pose (identity) with
+        # the points still in the sort-pose order — the pose-drift
+        # measurement behind the streamed-gather default decision (README
+        # "Streamed slab gather": drifted spans p50 29k / p90 74k rows).
+        cases = [("sort_pose", T0.q, T0.t, 1), ("sort_pose", T0.q, T0.t, 4)]
+        ident = se3.identity()
+        cases.append(("drifted_to_identity", ident.q, ident.t, 1))
+        for pose_tag, q, t, stride in cases:
             span, ovf = jax.block_until_ready(
-                span_stats(kfs.points, kfs.valid, T0.q, T0.t, stride=stride)
+                span_stats(kfs.points, kfs.valid, q, t, stride=stride)
             )
             s = np.sort(np.asarray(span))
             row = {
                 "probe": "group_span",
+                "pose": pose_tag,
                 "stride": stride,
                 "G": 16,
                 "p50": int(s[len(s) // 2]),
