@@ -103,6 +103,38 @@ class TestMLS:
         interior = ok & (np.abs(pts[:, 0]) < 0.7) & (np.abs(pts[:, 1]) < 0.7)
         assert np.abs(nrm[interior, 2]).mean() > 0.98
 
+    def test_moments_fit_matches_topk_when_capacity_covers(self):
+        """fit_impl='moments' (round 4, all in-radius candidates) vs the
+        round-2/3 'topk' path: when max_neighbors comfortably exceeds
+        every neighborhood's in-radius count, the top-k truncation is a
+        no-op and the two fits must land on near-identical surfaces (the
+        residual difference is approx_min_k's ~0.95 recall and f32
+        reduction-order noise)."""
+        rng = np.random.default_rng(7)
+        n = 1200
+        pts = np.zeros((n, 3), np.float32)
+        pts[:, :2] = rng.uniform(-1, 1, size=(n, 2))
+        pts[:, 2] = (0.2 * pts[:, 0] ** 2 - 0.1 * pts[:, 1] ** 2
+                     + rng.normal(0, 0.004, size=n)).astype(np.float32)
+        cfg = MLSConfig(search_radius=0.2, sqr_gauss_param=0.04,
+                        max_neighbors=96, bucket_capacity=96)
+        out = {}
+        for impl in ("moments", "topk"):
+            pos, nrm, ok, _ = mls.mls_smooth(
+                jnp.asarray(pts), jnp.ones((n,), bool), cfg,
+                chunk_size=512, fit_impl=impl,
+            )
+            out[impl] = (np.asarray(pos), np.asarray(nrm), np.asarray(ok))
+        pm, nm, om = out["moments"]
+        pt_, nt, ot = out["topk"]
+        both = om & ot
+        assert both.mean() > 0.95
+        d = np.linalg.norm(pm[both] - pt_[both], axis=1)
+        assert np.median(d) < 5e-4, float(np.median(d))
+        assert np.quantile(d, 0.95) < 5e-3, float(np.quantile(d, 0.95))
+        cosn = np.abs(np.sum(nm[both] * nt[both], axis=1))
+        assert np.median(cosn) > 0.9999
+
     def test_quadric_recovery(self):
         # Points exactly on z = x^2 + y^2 must project (near-)onto itself.
         rng = np.random.default_rng(3)
