@@ -452,10 +452,23 @@ def grouped_take_streamed(
     idx2 = idx.reshape(ng, group)
     ok2 = ok.reshape(ng, group)
     big = jnp.int32(2**31 - 1)
+    any_ok = jnp.any(ok2, axis=1)
     base = jnp.min(jnp.where(ok2, idx2, big), axis=1)
-    base = jnp.where(jnp.any(ok2, axis=1), base, 0)
-    slab_id = base // slab  # (ng,)
-    step_slab0 = jnp.min(slab_id.reshape(n_steps, _SPG), axis=1)
+    # An all-masked group must NOT drag its 32-group step's slab window to
+    # block 0 (that would clip every co-step group's rel and flag them all
+    # as overflow, exhausting the repair budget on well-sorted input —
+    # round-4 advisor finding): exclude empty groups from the step min,
+    # then give them the step's own base so their (unspecified-output)
+    # lanes stay in-window.
+    slab_id_real = jnp.where(any_ok, base // slab, big)
+    step_slab0 = jnp.min(slab_id_real.reshape(n_steps, _SPG), axis=1)
+    step_slab0 = jnp.where(step_slab0 == big, 0, step_slab0)  # all-empty step
+    slab_id = jnp.where(
+        any_ok,
+        base // jnp.int32(slab),
+        jnp.broadcast_to(step_slab0[:, None], (n_steps, _SPG)).reshape(ng),
+    )
+    base = jnp.where(any_ok, base, slab_id * slab)
     blk0 = jnp.clip(step_slab0 // _WBLK, 0, n_blocks - 2)  # (n_steps,)
     rel = jnp.clip(
         slab_id.reshape(n_steps, _SPG) - blk0[:, None] * _WBLK,

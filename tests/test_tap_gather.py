@@ -145,6 +145,33 @@ def test_streamed_variant_exact(case):
     assert np.array_equal(np.asarray(got)[okm], np.asarray(want)[okm])
 
 
+def test_streamed_all_masked_group_keeps_step_window():
+    """An all-masked group must adopt its step's slab base, not base 0 —
+    base 0 dragged the whole 32-group step's window to block 0 and flagged
+    every co-step group as overflow (round-4 advisor finding). Exactness
+    holds either way (the fallback is exact); this exercises the
+    empty-group adoption path on dense high-index input."""
+    r = 1 << 19
+    rng = np.random.default_rng(17)
+    n = 4096
+    # Dense sorted run far from row 0, whole groups masked out.
+    idx = np.sort(rng.integers(r - 8192, r, n))
+    ok = np.ones(n, bool)
+    ok[512:640] = False  # four whole 32-point groups
+    ok[2048:2080] = False
+    table = make_table(r, seed=18)
+    slab = 512
+    got = tap_gather.grouped_take_streamed(
+        _plane_slabs(table, slab),
+        jnp.asarray(idx, jnp.int32),
+        jnp.asarray(ok),
+        slab=slab,
+        interpret=True,
+    )
+    want = jnp.take(table, jnp.asarray(idx, jnp.int32), axis=0)
+    assert np.array_equal(np.asarray(got)[ok], np.asarray(want)[ok])
+
+
 @pytest.mark.parametrize("stride", [1, 4])
 def test_matches_nid_gather_shapes(stride):
     """The shapes the NID objective actually uses: K keyframes flattened
