@@ -27,6 +27,9 @@ class BFGSResult(NamedTuple):
     iterations: jnp.ndarray
     converged: jnp.ndarray
     evaluations: jnp.ndarray  # total value_and_grad calls (objective cost)
+    H: jnp.ndarray = 0.0  # final inverse-Hessian approximation (d, d) —
+    # lets callers warm-start the next related solve (opt/refine.py's
+    # outer loop re-solves the SAME objective from a nearby pose)
 
 
 def minimize(
@@ -37,6 +40,9 @@ def minimize(
     step_tol: float = 1e-10,
     armijo_c1: float = 1e-4,
     max_backtracks: int = 25,
+    H0: jnp.ndarray | None = None,
+    ftol=0.0,
+    scale_initial=True,
 ) -> BFGSResult:
     """Minimize ``f`` from ``x0`` (1-D vector). Fully traceable."""
     vg = jax.value_and_grad(f)
@@ -54,6 +60,9 @@ def minimize(
         step_tol=step_tol,
         armijo_c1=armijo_c1,
         max_backtracks=max_backtracks,
+        H0=H0,
+        ftol=ftol,
+        scale_initial=scale_initial,
     )
     return res
 
@@ -67,6 +76,9 @@ def minimize_cached(
     step_tol: float = 1e-10,
     armijo_c1: float = 1e-4,
     max_backtracks: int = 25,
+    H0: jnp.ndarray | None = None,
+    ftol=0.0,
+    scale_initial=True,
 ):
     """BFGS over an objective with a carried evaluation cache.
 
@@ -75,6 +87,19 @@ def minimize_cached(
     reuse the last gather until anchors drift). The cache threads through
     the line search and iteration loops and the final cache is returned —
     ``minimize`` is this with an empty cache. Returns (BFGSResult, cache).
+
+    ``H0``: warm-start inverse-Hessian approximation (d, d). Ceres' BFGS
+    has no analogue (every `ceres::Solve` starts from identity,
+    `visual_camera_calibration.cpp:204-233`).
+
+    ``scale_initial`` (traced bool): apply the classic first-update scaling
+    H = (sy/yy) I. Callers warm-starting from a calibrated H pass False so
+    the carried metric is not thrown away.
+
+    ``ftol`` (traced): converge when an accepted step decreases the value
+    by less than ``ftol * (|f| + 1e-12)`` — the function_tolerance exit
+    Ceres applies by default (GradientProblemSolver function_tolerance,
+    used at :204); 0 disables (value-agnostic, the round-4 behavior).
     """
     d = x0.shape[0]
     dtype = x0.dtype
@@ -98,21 +123,41 @@ def minimize_cached(
             return ~accepted(alpha, new_val) & (it < max_backtracks)
 
         def body(state):
-            alpha, rej_val, _, it, cache = state
-            # Quadratic interpolation through f(0)=val, f'(0)=dg and the
-            # rejected probe f(alpha)=rej_val: the model minimizer is
-            # -dg a^2 / (2 (f(a) - f(0) - dg a)). Each rejected probe costs a
-            # full multi-keyframe NID evaluation, so landing near the valley
-            # in one interpolated step instead of blind halving saves whole
-            # objective evaluations (Nocedal & Wright 3.5). Clamped to
-            # [alpha/10, alpha/2] for safety; +inf probes (trust-region
-            # rejections) carry no curvature information — halve those.
+            alpha, rej_val, rej_g, it, cache = state
+            # Every probe evaluates value AND gradient (see docstring), so a
+            # rejected probe gives a full cubic Hermite model on [0, alpha]
+            # for free — f(0)=val, f'(0)=dg, f(a)=rej_val, f'(a)=da
+            # (Nocedal & Wright eq. 3.59). Its minimizer lands near the
+            # valley in one step where the value-only quadratic or blind
+            # halving take several, and each saved probe is a whole
+            # multi-keyframe NID evaluation. Fallbacks: quadratic model when
+            # the cubic is invalid/out-of-range, halving for +inf probes
+            # (trust-region rejections carry no curvature information —
+            # their gradient is 0 through the jnp.where).
+            da = jnp.dot(rej_g, direction)
+            d1 = dg + da + 3.0 * (val - rej_val) / alpha
+            rad = d1 * d1 - dg * da
+            d2 = jnp.sqrt(jnp.maximum(rad, 0.0))
+            cubic = alpha - alpha * (da + d2 - d1) / (da - dg + 2.0 * d2)
             denom = rej_val - val - dg * alpha
-            interp = -dg * alpha * alpha / (2.0 * jnp.where(denom > 0, denom, 1.0))
+            quad = -dg * alpha * alpha / (2.0 * jnp.where(denom > 0, denom, 1.0))
+            finite = jnp.isfinite(rej_val)
+            cubic_ok = (
+                finite
+                & (rad >= 0)
+                & jnp.isfinite(cubic)
+                & (cubic >= 0.05 * alpha)
+                & (cubic <= 0.75 * alpha)
+            )
+            quad_ok = finite & (denom > 0)
             a = jnp.where(
-                jnp.isfinite(rej_val) & (denom > 0),
-                jnp.clip(interp, 0.1 * alpha, 0.5 * alpha),
-                alpha * 0.5,
+                cubic_ok,
+                cubic,
+                jnp.where(
+                    quad_ok,
+                    jnp.clip(quad, 0.1 * alpha, 0.5 * alpha),
+                    alpha * 0.5,
+                ),
             )
             new_val, new_g, cache = vg_c(x + a * direction, cache)
             return (a, new_val, new_g, it + 1, cache)
@@ -146,7 +191,7 @@ def minimize_cached(
         x0,
         val0,
         g0,
-        eye,
+        eye if H0 is None else H0,
         jnp.asarray(0, jnp.int32),
         jnp.linalg.norm(g0) < grad_tol,
         jnp.asarray(1.0, dtype),
@@ -164,15 +209,23 @@ def minimize_cached(
         descent = jnp.dot(direction, st.g) < 0
         direction = jnp.where(descent, direction, -st.g)
 
-        # First iteration (H = I): a raw step of size |g| overshoots badly
-        # for steep objectives and burns ~log2|g| backtracks; start from the
-        # Nocedal-Wright alpha0 = min(1, 1/|g|) instead. Later iterations
-        # warm-start from 1.5x the last accepted step (clamped to 1): when
-        # the objective systematically rejects alpha=1, this saves the
-        # rejected first probe while still growing back toward unit steps.
+        # First iteration under an identity metric: a raw step of size |g|
+        # overshoots badly for steep objectives and burns ~log2|g|
+        # backtracks; start from the Nocedal-Wright alpha0 = min(1, 1/|g|)
+        # instead. Under a WARM-started metric (scale_initial False) the
+        # direction is already well-sized — probe the unit step. Later
+        # iterations warm-start from 1.5x the last accepted step (clamped
+        # to 1): when the objective systematically rejects alpha=1, this
+        # saves the rejected first probe while still growing back toward
+        # unit steps.
+        first_alpha = jnp.where(
+            scale_initial,
+            jnp.minimum(1.0, 1.0 / (jnp.linalg.norm(st.g) + 1e-12)),
+            1.0,
+        ).astype(dtype)
         alpha0 = jnp.where(
             st.it == 0,
-            jnp.minimum(1.0, 1.0 / (jnp.linalg.norm(st.g) + 1e-12)).astype(dtype),
+            first_alpha,
             jnp.clip(1.5 * st.prev_alpha, 1.0 / 16.0, 1.0).astype(dtype),
         )
         alpha, val_new, g_new, probes, cache = line_search(
@@ -188,8 +241,10 @@ def minimize_cached(
         rho = jnp.where(sy > 1e-12, 1.0 / jnp.where(sy > 1e-12, sy, 1.0), 0.0)
         # Classic initial-Hessian scaling on the first update: H0 = (sy/yy) I
         # calibrates the metric so subsequent unit steps are well-sized.
+        # Skipped under a warm-started H0 — the caller's metric is already
+        # calibrated and rescaling would throw that information away.
         H_base = jnp.where(
-            (st.it == 0) & (sy > 1e-12) & (yy > 1e-12),
+            (st.it == 0) & (sy > 1e-12) & (yy > 1e-12) & scale_initial,
             (sy / jnp.maximum(yy, 1e-20)) * eye,
             st.H,
         )
@@ -199,7 +254,19 @@ def minimize_cached(
 
         stalled = alpha == 0.0
         moved = jnp.linalg.norm(step)
-        done = stalled | (jnp.linalg.norm(g_new) < grad_tol) | (moved < step_tol)
+        # Value-based exit (Ceres function_tolerance semantics): an accepted
+        # step that barely moved the objective means the remaining descent
+        # is below ftol relative — further iterations burn evaluations on
+        # the plateau the outer loop's pose-based convergence ignores.
+        rel_drop_small = (st.val - val_new) <= ftol * (
+            jnp.abs(val_new) + 1e-12
+        )
+        done = (
+            stalled
+            | (jnp.linalg.norm(g_new) < grad_tol)
+            | (moved < step_tol)
+            | ((ftol > 0) & ~stalled & rel_drop_small)
+        )
 
         keep_old = stalled
         return State(
@@ -236,6 +303,7 @@ def minimize_cached(
             iterations=final.it,
             converged=final.done,
             evaluations=final.evals,
+            H=final.H,
         ),
         final.cache,
     )

@@ -85,6 +85,14 @@ class NIDKeyframe(NamedTuple):
     # arrays are layout-fragile at jit boundaries: the tile-padded default
     # layout is 64x = 50 GB at bench scale, measured OOMs both ways).
     tap_slabs: Optional[jnp.ndarray] = None
+    # WIDE window table for the frozen cache (build_wide_tap_table):
+    # (H*W, 4+2*margin) int32, word r of pixel p = the 4+2*margin nibble-
+    # packed bins of window row r. An 8x8 window (margin 2) costs the same
+    # ONE gather index per point as the 4x4 row (per-index tax is flat in
+    # row width — measured, tools/tap_cache_probe) but lets cached taps
+    # absorb +-margin px of anchor drift with an exact VPU sub-window
+    # select instead of a re-gather (see _select_from_wide / TapCache).
+    tap_wide: Optional[jnp.ndarray] = None
 
 
 def pack_tap_nibbles(taps: jnp.ndarray) -> jnp.ndarray:
@@ -132,6 +140,33 @@ def build_tap_table(bin_image: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([w0.reshape(-1), w1.reshape(-1)], axis=-1)
 
 
+def build_wide_tap_table(bin_image: jnp.ndarray, margin: int) -> jnp.ndarray:
+    """(H, W) bin image -> (H*W, 4+2*margin) int32 WIDE window table.
+
+    Word r of pixel (x, y) nibble-packs the bins at image row
+    ``y + r - 1 - margin``, columns ``x - 1 - margin .. x + 2 + margin``
+    (edges clamped) — a (4+2*margin)^2 window centered like the 4x4
+    B-spline window but with ``margin`` extra pixels on every side. The
+    window width must fit one word's 8 nibbles: margin <= 2. A pure
+    stencil (shifted ORs), same structure as :func:`_tap_word_planes`."""
+    h, w = bin_image.shape
+    rows = 4 + 2 * margin
+    assert 1 <= margin <= 2, "wide window width must fit 8 nibbles"
+    p = jnp.pad(
+        bin_image,
+        ((1 + margin, 2 + margin), (1 + margin, 2 + margin)),
+        mode="edge",
+    ).astype(jnp.uint32)
+    words = []
+    for r in range(rows):
+        word = jnp.zeros((h, w), jnp.uint32)
+        for j in range(rows):
+            tap = p[r: r + h, j: j + w]
+            word = word | (tap << jnp.uint32(4 * j))
+        words.append(word.reshape(-1).astype(jnp.int32))
+    return jnp.stack(words, axis=-1)  # (H*W, rows)
+
+
 def build_tap_slabs(bin_image: jnp.ndarray, slab: int) -> jnp.ndarray:
     """(H, W) bin image -> (H*W/slab, 2*slab) int32 PLANE-CONCAT slab table
     for the grouped gather: row j = [word0 of pixels jS..jS+S-1 | word1 of
@@ -149,16 +184,29 @@ def build_tap_slabs(bin_image: jnp.ndarray, slab: int) -> jnp.ndarray:
     )
 
 
-def prepare_keyframes(kfs: NIDKeyframe, build_slabs: bool | None = None) -> NIDKeyframe:
+def prepare_keyframes(
+    kfs: NIDKeyframe,
+    build_slabs: bool | None = None,
+    wide_margin: int = 0,
+) -> NIDKeyframe:
     """Attach precomputed tap tables (batched over the keyframe axis) and,
     when the shapes allow, their slab layout for the grouped gather.
     Idempotent; called by the optimizers at solve entry.
 
     ``build_slabs`` (None = backend default): the slab relayout costs one
     ~2x-table-size copy per solve — skip it for callers that will not use
-    the grouped gather (CPU tests, the vmapped per-keyframe solver)."""
+    the grouped gather (CPU tests, the vmapped per-keyframe solver).
+
+    ``wide_margin`` (1..2): additionally build the wide window table for
+    the margin-tolerant frozen cache (:func:`build_wide_tap_table`)."""
     if kfs.tap_rows is None:
         kfs = kfs._replace(tap_rows=jax.vmap(build_tap_table)(kfs.bin_image))
+    if wide_margin and kfs.tap_wide is None:
+        kfs = kfs._replace(
+            tap_wide=jax.vmap(
+                lambda b: build_wide_tap_table(b, wide_margin)
+            )(kfs.bin_image)
+        )
     if build_slabs is None:
         build_slabs = _use_grouped_default()
     if build_slabs and kfs.tap_slabs is None:
@@ -172,6 +220,19 @@ def prepare_keyframes(kfs: NIDKeyframe, build_slabs: bool | None = None) -> NIDK
                 tap_slabs=jax.vmap(lambda b: build_tap_slabs(b, slab))(
                     kfs.bin_image
                 )
+            )
+        else:
+            # An explicit grouped-gather request that cannot be honored
+            # (pixel count not a slab multiple / table too small for two
+            # slabs) must not degrade silently to the direct per-point take
+            # (round-4 advisor finding).
+            import warnings
+
+            warnings.warn(
+                f"prepare_keyframes: cannot build tap slabs (H*W={r}, "
+                f"slab={slab}); the grouped gather will fall back to the "
+                "direct per-point take",
+                stacklevel=2,
             )
     return kfs
 
@@ -364,7 +425,11 @@ class TapCache(NamedTuple):
     taps: jnp.ndarray  # (K, N, 2) int32 nibble-packed window rows
     knot: jnp.ndarray  # (K, N, 2) int32 anchor knots at gather time
     inlier: jnp.ndarray  # (K, N) float 0/1 gate at gather time
-    refreshes: jnp.ndarray  # () int32 fresh-gather count (diagnostics)
+    refreshes: jnp.ndarray  # () int32 refresh count (diagnostics)
+    partials: jnp.ndarray  # () int32 refreshes served by the PARTIAL path
+    drift_accum: jnp.ndarray  # () f32 sum of frac1 at refresh time (so the
+    # mean drifted fraction per refresh = drift_accum / refreshes is
+    # observable from outside the solve loops — sizes partial_frac)
 
 
 def _project_all(camera: cam.PinholeCamera, T: se3.SE3, kfs: NIDKeyframe):
@@ -454,6 +519,13 @@ def _gather_taps(
     k, r, c = kfs.tap_rows.shape
     n = anchor.shape[1]
     slab = kfs.tap_slabs.shape[-1] // 2
+    # Flat indices kf*R + anchor are int32: at K*R >= 2^31 (~175 keyframes
+    # of 4096x3000 pixels) they would silently wrap and gather wrong rows
+    # (round-4 advisor finding). Static shapes, so a trace-time guard.
+    assert k * r < 2**31, (
+        f"grouped gather flat index overflow: K*H*W = {k}*{r} >= 2^31; "
+        "split the keyframe batch or use use_grouped_gather=False"
+    )
     flat_idx = (
         anchor + jnp.arange(k, dtype=jnp.int32)[:, None] * jnp.int32(r)
     ).reshape(-1)
@@ -488,6 +560,142 @@ def _gather_taps(
     return taps.reshape(k, n, c)
 
 
+_PARTIAL_BLOCK = 128  # points per refresh block (one f32 vreg lane row)
+
+
+def _partial_refresh_taps(
+    camera: cam.PinholeCamera,
+    kfs: NIDKeyframe,
+    cache_taps: jnp.ndarray,  # (K, N, 2)
+    knot_true: jnp.ndarray,  # (K, N, 2)
+    dirty: jnp.ndarray,  # (K, nb) bool — blocks containing >=1 drifted point
+    cap: int,  # static per-keyframe dirty-block capacity
+) -> jnp.ndarray:
+    """Re-gather only the dirty blocks of the tap cache.
+
+    Anchor knots are int32, so "drifted < 1 px" means the knot is UNCHANGED:
+    every clean-block live point's cached row is bit-identical to what a
+    full re-gather would fetch (the tap table is pose-independent). The
+    refresh therefore gathers rows only for points in blocks with at least
+    one drifted live point and scatters them back — per-index gather cost
+    scales with index count (~10 ns/row, ops/tap_gather.py:4-10), so a
+    refresh at drifted fraction f costs ~f·amplification of a full gather
+    instead of 1.0. Block granularity (128 points) makes the scatter-back
+    nearly free: 128-point rows cost ONE scatter index each instead of 128.
+
+    Callers guarantee max dirty-count <= cap (else they take the full
+    gather). The reference has no analogue — it re-reads every point's
+    image window per evaluation (`nid_cost.hpp:78-92`); the cache itself
+    is the recorded deviation (see :class:`TapCache`).
+    """
+    k, n, _ = cache_taps.shape
+    block = _PARTIAL_BLOCK
+    nb = n // block
+    anchor = (
+        jnp.clip(knot_true[..., 1], 0, camera.height - 1) * camera.width
+        + jnp.clip(knot_true[..., 0], 0, camera.width - 1)
+    )  # (K, N)
+
+    def one(taps_k, rows_k, anchor_k, dirty_k):
+        # Compacted dirty-block ids: ascending sort of (id if dirty else nb)
+        # over nb elements — trivially cheap next to the row gathers.
+        iota = jnp.arange(nb, dtype=jnp.int32)
+        blk = jnp.sort(jnp.where(dirty_k, iota, jnp.int32(nb)))[:cap]  # (cap,)
+        blk_c = jnp.minimum(blk, nb - 1)
+        anc = jnp.take(anchor_k.reshape(nb, block), blk_c, axis=0)  # (cap, B)
+        new_rows = jnp.take(rows_k, anc.reshape(-1), axis=0)  # (cap*B, 2)
+        flat = taps_k.reshape(nb, block * 2)
+        flat = flat.at[blk].set(
+            new_rows.reshape(cap, block * 2), mode="drop"
+        )
+        return flat.reshape(n, 2)
+
+    return jax.vmap(one)(cache_taps, kfs.tap_rows, anchor, dirty)
+
+
+def _wide_margin_of(kfs: NIDKeyframe) -> int:
+    """Static margin of the attached wide table (0 = no wide table)."""
+    if kfs.tap_wide is None:
+        return 0
+    return (kfs.tap_wide.shape[-1] - 4) // 2
+
+
+def _anchors(camera: cam.PinholeCamera, knot: jnp.ndarray) -> jnp.ndarray:
+    """(…, 2) int32 knots -> (…,) clamped flat pixel indices."""
+    return jnp.clip(knot[..., 1], 0, camera.height - 1) * camera.width + jnp.clip(
+        knot[..., 0], 0, camera.width - 1
+    )
+
+
+def _gather_wide(
+    camera: cam.PinholeCamera, kfs: NIDKeyframe, knot: jnp.ndarray
+) -> jnp.ndarray:
+    """(K, N, 2) knots -> (K, rows, N) wide window planes (one take index
+    per point from the (H*W, rows) wide table; transposed so the long
+    point axis stays minor — the select reads whole word planes)."""
+    anchor = _anchors(camera, knot)
+    g = jax.vmap(lambda tw, a: jnp.take(tw, a, axis=0))(kfs.tap_wide, anchor)
+    return jnp.swapaxes(g, 1, 2)
+
+
+def _select_from_wide(
+    wide: jnp.ndarray,  # (K, rows, N) int32 window planes
+    dk: jnp.ndarray,  # (K, N, 2) int32 window offset in [-margin, margin]
+    margin: int,
+) -> jnp.ndarray:
+    """Select each point's 4x4 sub-window -> (K, N, 2) packed words.
+
+    The sub-window at offset (du, dv) of a wide window anchored at c is
+    BIT-IDENTICAL to the 4x4 tap row at anchor c + (du, dv) (same image
+    bins), so cached wide taps absorb +-margin px of anchor drift exactly.
+    Pure VPU arithmetic on full-lane planes: a (2*margin+1)-way word
+    select per window row plus one variable nibble shift — no gather."""
+    dv = dk[..., 1] + margin  # (K, N) in [0, 2*margin]
+    sh = (jnp.uint32(4) * (dk[..., 0] + margin).astype(jnp.uint32))  # (K, N)
+    halves = []
+    for i in range(4):
+        w = wide[:, i, :]
+        for d in range(1, 2 * margin + 1):
+            w = jnp.where(dv == d, wide[:, i + d, :], w)
+        half = (
+            jax.lax.shift_right_logical(w.astype(jnp.uint32), sh)
+            & jnp.uint32(0xFFFF)
+        )
+        halves.append(half)
+    w0 = halves[0] | (halves[1] << jnp.uint32(16))
+    w1 = halves[2] | (halves[3] << jnp.uint32(16))
+    return jnp.stack([w0.astype(jnp.int32), w1.astype(jnp.int32)], axis=-1)
+
+
+def _partial_refresh_wide(
+    camera: cam.PinholeCamera,
+    kfs: NIDKeyframe,
+    cache_taps: jnp.ndarray,  # (K, rows, N)
+    knot_true: jnp.ndarray,
+    dirty: jnp.ndarray,  # (K, nb) bool
+    cap: int,
+) -> jnp.ndarray:
+    """Dirty-blocks-only wide re-gather (see :func:`_partial_refresh_taps`;
+    here the scatter-back rides the (rows, nb, B) middle axis)."""
+    k, rows, n = cache_taps.shape
+    block = _PARTIAL_BLOCK
+    nb = n // block
+    anchor = _anchors(camera, knot_true)  # (K, N)
+
+    def one(taps_k, tw_k, anchor_k, dirty_k):
+        iota = jnp.arange(nb, dtype=jnp.int32)
+        blk = jnp.sort(jnp.where(dirty_k, iota, jnp.int32(nb)))[:cap]
+        blk_c = jnp.minimum(blk, nb - 1)
+        anc = jnp.take(anchor_k.reshape(nb, block), blk_c, axis=0)  # (cap, B)
+        new = jnp.take(tw_k, anc.reshape(-1), axis=0)  # (cap*B, rows)
+        new = jnp.moveaxis(new.reshape(cap, block, rows), 2, 0)  # (rows, cap, B)
+        t3 = taps_k.reshape(rows, nb, block)
+        t3 = t3.at[:, blk, :].set(new, mode="drop")
+        return t3.reshape(rows, n)
+
+    return jax.vmap(one)(cache_taps, kfs.tap_wide, anchor, dirty)
+
+
 def make_tap_cache(
     camera: cam.PinholeCamera,
     T_camera_lidar: se3.SE3,
@@ -495,10 +703,22 @@ def make_tap_cache(
     use_grouped: bool | None = None,
 ) -> TapCache:
     """Fresh gather at ``T_camera_lidar`` (kfs must carry tap_rows —
-    see :func:`prepare_keyframes`)."""
+    see :func:`prepare_keyframes`). With a wide table attached
+    (prepare_keyframes(wide_margin=...)), the cache holds (K, rows, N)
+    wide window planes instead of (K, N, 2) rows."""
     proj, knot, inl = _project_all(camera, T_camera_lidar, kfs)
-    taps = _gather_taps(camera, kfs, knot, inl, use_grouped)
-    return TapCache(taps, knot, inl.astype(proj.dtype), jnp.asarray(1, jnp.int32))
+    if _wide_margin_of(kfs):
+        taps = _gather_wide(camera, kfs, knot)
+    else:
+        taps = _gather_taps(camera, kfs, knot, inl, use_grouped)
+    return TapCache(
+        taps,
+        knot,
+        inl.astype(proj.dtype),
+        jnp.asarray(1, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0.0, jnp.float32),
+    )
 
 
 def multi_nid_loss_cached(
@@ -511,6 +731,7 @@ def multi_nid_loss_cached(
     allow_refresh=True,
     use_pallas: bool | None = None,
     use_grouped: bool | None = None,
+    partial_frac: float = 0.0,
 ):
     """Sum of per-keyframe NIDs with a guarded frozen-tap gather.
 
@@ -530,6 +751,14 @@ def multi_nid_loss_cached(
 
     ``allow_refresh`` (traced bool) suppresses the refresh for evaluations
     whose result is discarded anyway (trust-region rejections).
+
+    ``partial_frac`` (static, 0 disables): at a refresh, when at most
+    ``partial_frac`` of each keyframe's 128-point blocks contain a drifted
+    live point, re-gather ONLY those blocks (:func:`_partial_refresh_taps`)
+    instead of all N rows — bit-identical histograms (clean blocks' live
+    rows cannot differ: an int32 knot that moved <1 px did not move), at
+    ~drift-proportional cost. Refreshes above the capacity take the full
+    gather as before.
     """
     assert kfs.tap_rows is not None, "call prepare_keyframes first"
     proj, knot_true, inl_true = _project_all(camera, T_camera_lidar, kfs)
@@ -544,25 +773,100 @@ def multi_nid_loss_cached(
     )  # (K, N)
     care = inl_true | (cache.inlier > 0)
     n_care = jnp.maximum(jnp.sum(care), 1).astype(jnp.float32)
-    frac1 = jnp.sum((shift >= 1.0) & care) / n_care
-    frac2 = jnp.sum((shift >= 2.0) & care) / n_care
+    # Drift thresholds scale with the cached window's margin: a margin-m
+    # wide window serves exact sub-windows up to m px of anchor drift, so
+    # "needs refresh" starts at m+1 (extrapolation regime) and "invalid"
+    # at m+2 — for m=0 these are exactly the round-3/4 1 px / 2 px guards.
+    margin = _wide_margin_of(kfs)
+    thr = jnp.float32(margin + 1.0)
+    drifted = (shift >= thr) & care
+    frac1 = jnp.sum(drifted) / n_care
+    frac2 = jnp.sum((shift >= thr + 1.0) & care) / n_care
     stale = ((frac1 > guard_frac) | (frac2 > 0.001)) & allow_refresh
 
+    k_kf, n_pts = kfs.points.shape[0], kfs.points.shape[1]
+    block = _PARTIAL_BLOCK
+    nb = n_pts // block if n_pts % block == 0 else 0
+    cap = int(round(nb * partial_frac)) if partial_frac > 0 else 0
+    inl_true_f = inl_true.astype(proj.dtype)
+
     def fresh(c: TapCache) -> TapCache:
+        def full(_):
+            taps = (
+                _gather_wide(camera, kfs, knot_true)
+                if margin
+                else _gather_taps(camera, kfs, knot_true, inl_true, use_grouped)
+            )
+            return taps, knot_true, inl_true_f
+
+        # partial_frac=1.0 (cap == nb) forces the partial path whenever any
+        # block is dirty — costs more than a full gather, but exercises the
+        # partial machinery unconditionally (exactness tests, probes).
+        if 0 < cap <= nb:
+            dirty = jnp.any(drifted.reshape(k_kf, nb, block), axis=2)
+            can_partial = jnp.max(jnp.sum(dirty, axis=1)) <= cap
+            in_dirty = jnp.broadcast_to(
+                dirty[:, :, None], (k_kf, nb, block)
+            ).reshape(k_kf, n_pts)
+
+            def partial(_):
+                if margin:
+                    taps = _partial_refresh_wide(
+                        camera, kfs, c.taps, knot_true, dirty, cap
+                    )
+                    # Only refreshed points recenter — a clean point's wide
+                    # window stays anchored where it was gathered (still
+                    # covers, by the margin guard) and recentring its knot
+                    # without re-gathering would desync the select.
+                    knot = jnp.where(in_dirty[..., None], knot_true, c.knot)
+                    inl = jnp.where(in_dirty, inl_true_f, c.inlier)
+                else:
+                    taps = _partial_refresh_taps(
+                        camera, kfs, c.taps, knot_true, dirty, cap
+                    )
+                    # Margin 0: recentring is free and EXACT for every care
+                    # point (a clean care point's int32 knot did not move),
+                    # and keeps the guard state identical to a full
+                    # refresh's — the partial solve is bit-identical to the
+                    # full-refresh solve (tested).
+                    knot = knot_true
+                    inl = inl_true_f
+                return taps, knot, inl
+
+            taps, knot, inl = jax.lax.cond(can_partial, partial, full, None)
+            partial_inc = can_partial.astype(jnp.int32)
+        else:
+            taps, knot, inl = full(None)
+            partial_inc = jnp.asarray(0, jnp.int32)
         return TapCache(
-            _gather_taps(camera, kfs, knot_true, inl_true, use_grouped),
-            knot_true,
-            inl_true.astype(proj.dtype),
+            taps,
+            knot,
+            inl,
             c.refreshes + 1,
+            c.partials + partial_inc,
+            c.drift_accum + frac1,
         )
 
     cache = jax.lax.cond(stale, fresh, lambda c: c, cache)
+
+    if margin:
+        # Exact sub-window select: for every point within +-margin of its
+        # cached anchor this reproduces the fresh 4x4 tap row bit-exactly;
+        # beyond the margin the clamp pins the window edge and the cubic
+        # extrapolates through the s-clip below, exactly like the margin-0
+        # drifted case.
+        dk = jnp.clip(knot_true - cache.knot, -margin, margin)
+        taps_eval = _select_from_wide(cache.taps, dk, margin)
+        eff_knot = cache.knot + dk
+    else:
+        taps_eval = cache.taps
+        eff_knot = cache.knot
 
     # Clip keeps the few not-yet-refreshed far points' weights bounded (the
     # clip boundary is outside everything the guard lets through, so live
     # gradients are unaffected).
     s = jnp.clip(
-        proj - jax.lax.stop_gradient(cache.knot).astype(proj.dtype), -1.5, 2.5
+        proj - jax.lax.stop_gradient(eff_knot).astype(proj.dtype), -1.5, 2.5
     )  # (K, N, 2)
 
     def one(taps, s1, inten, inl_f):
@@ -571,7 +875,7 @@ def multi_nid_loss_cached(
             *_histograms_from_taps(taps, s1, bin_pts, inl_f, bins, use_pallas)
         )
 
-    losses = jax.vmap(one)(cache.taps, s, kfs.intensity, cache.inlier)
+    losses = jax.vmap(one)(taps_eval, s, kfs.intensity, cache.inlier)
     return jnp.sum(losses), cache
 
 

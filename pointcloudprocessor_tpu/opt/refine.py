@@ -43,6 +43,10 @@ class RefineResult(NamedTuple):
     evaluations: jnp.ndarray  # total objective (value+grad) evaluations
     gathers: jnp.ndarray = 0  # tap-table gathers (frozen_taps mode only;
     # without frozen taps every evaluation gathers, reported as 0 here)
+    partial_gathers: jnp.ndarray = 0  # gathers served by the partial
+    # (drifted-blocks-only) refresh path; subset of ``gathers``
+    gather_drift: jnp.ndarray = 0.0  # sum over refreshes of the drifted
+    # fraction at refresh time (mean = gather_drift / gathers)
 
 
 def _guarded_objective(camera, kfs, bins, trust_trans, trust_rot, loss_fn):
@@ -83,8 +87,11 @@ def _subsample_keyframes(kfs: NIDKeyframe, stride: int) -> NIDKeyframe:
         "coarse_stride",
         "frozen_taps",
         "frozen_impl",
+        "frozen_partial_frac",
+        "frozen_margin",
         "sort_points",
         "use_grouped_gather",
+        "carry_hessian",
     ),
 )
 def refine_pose(
@@ -105,8 +112,12 @@ def refine_pose(
     frozen_taps: bool = False,
     frozen_guard_frac: float = 0.25,  # traced (sweepable without recompile)
     frozen_impl=None,
+    frozen_partial_frac: float = 0.0,
+    frozen_margin: int = 0,
     sort_points: bool | None = None,
     use_grouped_gather=None,
+    carry_hessian: bool = False,
+    ftol: float = 0.0,  # traced (sweepable without recompile)
 ) -> RefineResult:
     """Optimize the shared camera<-lidar correction transform over keyframes.
 
@@ -134,6 +145,31 @@ def refine_pose(
     full-resolution evaluation at the final pose, and tests assert the
     frozen solve reaches an objective value at parity with the exact solve
     (tests/test_nid.py).
+
+    ``frozen_partial_frac`` (static, frozen_taps only): serve refreshes
+    whose drifted-block fraction fits the capacity by re-gathering ONLY the
+    drifted 128-point blocks (`opt/nid._partial_refresh_taps`) — the cache
+    after a partial refresh is bit-identical to a full refresh for every
+    live point (an int32 anchor that moved <1 px did not move), at
+    drift-proportional cost instead of the full 2.1M-row gather.
+
+    ``frozen_margin`` (static, frozen_taps only; 0..2): cache WIDE
+    (4+2m)^2 tap windows instead of 4x4 rows (`opt/nid.build_wide_tap_table`)
+    — the same one gather index per point (per-index cost is flat in row
+    width), but evaluations select the exact 4x4 sub-window with VPU
+    arithmetic for any anchor drift within +-m px, so the refresh guard
+    thresholds shift from 1/2 px to m+1/m+2 px and most refreshes simply
+    stop firing. Composes with ``frozen_partial_frac``: the over-margin
+    set is a smooth screen-space region, block-coherent under the raster
+    sort.
+
+    ``carry_hessian``: warm-start each inner BFGS solve with the previous
+    solve's inverse-Hessian approximation (outer iterations re-solve the
+    same objective from a nearby pose; Ceres restarts from identity every
+    `ceres::Solve`, `visual_camera_calibration.cpp:204-233`).
+
+    ``ftol`` (traced): per-inner-solve relative function-decrease exit
+    (Ceres function_tolerance semantics); 0 disables.
     """
     grouped_resolved = (
         use_grouped_gather
@@ -141,16 +177,27 @@ def refine_pose(
         else _nid._use_grouped_default()
     )
     if sort_points is None:
-        # The raster sort exists to make the grouped gather's rows
-        # near-monotone; without the grouped path it is pure overhead
-        # (an argsort per solve) plus an f32 summation-order change.
-        sort_points = bool(grouped_resolved)
+        # The raster sort makes the grouped gather's rows near-monotone,
+        # and makes drift fields BLOCK-COHERENT for the partial refresh
+        # (the over-margin set is a smooth region in screen space, so in
+        # raster order it occupies contiguous bands of 128-point blocks —
+        # in map order every block is dirty and the partial path cannot
+        # win). Without either consumer it is pure overhead (a sort per
+        # solve) plus an f32 summation-order change.
+        sort_points = bool(grouped_resolved) or (
+            frozen_taps and frozen_partial_frac > 0
+        )
     coarse_loss_fn = loss_fn
     if loss_fn is multi_nid_loss:
         # Pose-independent tap tables: built once here, reused by every
         # objective evaluation inside the solver loops (slab layout only
-        # when the grouped gather will actually run).
-        kfs = _nid.prepare_keyframes(kfs, build_slabs=bool(grouped_resolved))
+        # when the grouped gather will actually run; the wide window table
+        # only when the frozen cache will select from it).
+        kfs = _nid.prepare_keyframes(
+            kfs,
+            build_slabs=bool(grouped_resolved),
+            wide_margin=frozen_margin if frozen_taps else 0,
+        )
         # Thread the grouped-gather choice through the default objective
         # (the partial is created inside the trace, so the jit cache keys
         # on `use_grouped_gather`, not on partial identity).
@@ -178,9 +225,12 @@ def refine_pose(
     make_cache_fn, cached_loss_fn = frozen_impl or (
         functools.partial(_nid.make_tap_cache, use_grouped=use_grouped_gather),
         functools.partial(
-            _nid.multi_nid_loss_cached, use_grouped=use_grouped_gather
+            _nid.multi_nid_loss_cached,
+            use_grouped=use_grouped_gather,
+            partial_frac=frozen_partial_frac,
         ),
     )
+    eye6 = jnp.eye(6, dtype=T_init.t.dtype)
 
     class Outer(NamedTuple):
         T: se3.SE3
@@ -189,6 +239,9 @@ def refine_pose(
         done: jnp.ndarray
         evals: jnp.ndarray
         gathers: jnp.ndarray
+        pgathers: jnp.ndarray
+        drift: jnp.ndarray
+        H: jnp.ndarray  # carried inverse-Hessian metric (carry_hessian)
 
     def solve_phase(init: Outer, phase_kfs, max_iters, use_frozen,
                     phase_loss_fn=None) -> Outer:
@@ -241,6 +294,19 @@ def refine_pose(
                     jnp.zeros(6, st.T.t.dtype),
                     cache,
                     max_iterations=max_inner_iterations,
+                    # Carry the inverse-Hessian metric across outer
+                    # iterations: the outer loop re-solves the SAME
+                    # objective from a nearby pose, so the curvature
+                    # H learned last time is a far better metric than
+                    # restarting at identity (Ceres restarts every
+                    # ceres::Solve, :204-233 — not a ceiling to respect).
+                    # A virgin H (exactly identity, no solve yet) still
+                    # gets the classic first-update scaling.
+                    H0=st.H if carry_hessian else None,
+                    scale_initial=jnp.all(st.H == eye6)
+                    if carry_hessian
+                    else True,
+                    ftol=ftol,
                 )
                 T_new = se3.compose(st.T, se3.exp(res.x))
                 dt, dr = se3.delta_magnitudes(st.T, T_new)
@@ -255,6 +321,9 @@ def refine_pose(
                         # refreshes counts within this phase's cache; add the
                         # phase-entry total so coarse-phase gathers persist.
                         gathers=init.gathers + cache.refreshes,
+                        pgathers=init.pgathers + cache.partials,
+                        drift=init.drift + cache.drift_accum,
+                        H=res.H if carry_hessian else st.H,
                     ),
                     cache,
                 )
@@ -269,6 +338,9 @@ def refine_pose(
                 lambda xi: objective(xi, st.T),
                 jnp.zeros(6, st.T.t.dtype),
                 max_iterations=max_inner_iterations,
+                H0=st.H if carry_hessian else None,
+                scale_initial=jnp.all(st.H == eye6) if carry_hessian else True,
+                ftol=ftol,
             )
             T_new = se3.compose(st.T, se3.exp(res.x))
             dt, dr = se3.delta_magnitudes(st.T, T_new)
@@ -280,6 +352,9 @@ def refine_pose(
                 done=converged,
                 evals=st.evals + res.evaluations,
                 gathers=st.gathers,
+                pgathers=st.pgathers,
+                drift=st.drift,
+                H=res.H if carry_hessian else st.H,
             )
 
         return jax.lax.while_loop(cond, body_plain, init)
@@ -291,6 +366,9 @@ def refine_pose(
         done=jnp.asarray(False),
         evals=jnp.asarray(0, jnp.int32),
         gathers=jnp.asarray(0, jnp.int32),
+        pgathers=jnp.asarray(0, jnp.int32),
+        drift=jnp.asarray(0.0, jnp.float32),
+        H=eye6,
     )
     if coarse_outer_iterations > 0 and coarse_stride > 1:
         # The coarse phase always runs the plain objective: its evaluations
@@ -308,6 +386,9 @@ def refine_pose(
         )
         # Fine phase starts from the coarse pose with a reset iteration /
         # convergence state (the coarse phase only warms the initial guess).
+        # The carried H transfers too: the NID objective is count-normalized,
+        # so the subsampled coarse surface's curvature is the same metric at
+        # ~the same scale as the full-resolution surface's.
         init = Outer(
             T=coarse.T,
             nid=init.nid,
@@ -315,6 +396,9 @@ def refine_pose(
             done=jnp.asarray(False),
             evals=coarse.evals,
             gathers=coarse.gathers,
+            pgathers=coarse.pgathers,
+            drift=coarse.drift,
+            H=coarse.H,
         )
     final = solve_phase(init, kfs, max_outer_iterations, use_frozen=frozen_taps)
     nid_final = final.nid
@@ -329,6 +413,8 @@ def refine_pose(
         converged=final.done,
         evaluations=final.evals,
         gathers=final.gathers,
+        partial_gathers=final.pgathers,
+        gather_drift=final.drift,
     )
 
 

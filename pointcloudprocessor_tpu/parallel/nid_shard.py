@@ -22,11 +22,14 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..core import se3
 from ..models import camera as cam
 from ..opt import bfgs
+from ..opt import nid as _nid
 from ..opt.nid import (
+    _PARTIAL_BLOCK,
     NIDKeyframe,
     TapCache,
     _gather_taps,
     _histograms_from_taps,
+    _partial_refresh_taps,
     _project_all,
     nid_from_histograms,
     prepare_keyframes,
@@ -118,7 +121,7 @@ def make_sharded_loss(mesh: Mesh):
     return loss_fn
 
 
-def make_sharded_frozen(mesh: Mesh):
+def make_sharded_frozen(mesh: Mesh, partial_frac: float = 0.0):
     """Sharded implementations of the frozen-tap objective
     (`opt/nid.TapCache` / `multi_nid_loss_cached` semantics, SPMD over the
     (kf, pt) mesh) for `opt.refine.refine_pose(frozen_taps=True,
@@ -129,43 +132,91 @@ def make_sharded_frozen(mesh: Mesh):
     the drift counts over BOTH axes so every device takes the same
     `lax.cond` branch, and the re-gather happens shard-locally (tap tables
     are replicated over pt, as in the direct sharded loss).
+
+    ``partial_frac`` enables the partial (drifted-blocks-only) refresh of
+    `opt/nid._partial_refresh_taps`, evaluated SHARD-LOCALLY: the
+    partial-vs-full capacity `lax.cond` may diverge across devices (both
+    branches are collective-free and produce identical cache semantics, so
+    divergence is purely a per-device performance choice); the ``partials``
+    diagnostic counts a refresh as partial only when EVERY device took the
+    partial path (pmin).
     """
     pkp = P(mesh_lib.KF_AXIS, mesh_lib.PT_AXIS)
     pk = P(mesh_lib.KF_AXIS)
     both = (mesh_lib.KF_AXIS, mesh_lib.PT_AXIS)
 
-    def _slab_args(kfs):
-        """(extra shard_map args, extra in_specs) for the optional slab
-        table — sharded over kf with the tap tables, replicated over pt."""
-        if kfs.tap_slabs is None:
-            return (), ()
-        return (kfs.tap_slabs,), (pk,)
+    def _table_args(kfs):
+        """(extra shard_map args, extra in_specs, rebuild) for the optional
+        slab/wide tables — sharded over kf, replicated over pt. ``rebuild``
+        reassembles a local NIDKeyframe from (points, intensity, valid,
+        tap_rows, *extras) with the right optional fields."""
+        extras, specs = [], []
+        has_slabs = kfs.tap_slabs is not None
+        has_wide = kfs.tap_wide is not None
+        if has_slabs:
+            extras.append(kfs.tap_slabs)
+            specs.append(pk)
+        if has_wide:
+            extras.append(kfs.tap_wide)
+            specs.append(pk)
+
+        def rebuild(points, intensity, valid, tap_rows, *ex):
+            i = 0
+            slabs = wide = None
+            if has_slabs:
+                slabs = ex[i]
+                i += 1
+            if has_wide:
+                wide = ex[i]
+            return NIDKeyframe(points, intensity, valid, None, tap_rows,
+                               slabs, wide)
+
+        return tuple(extras), tuple(specs), rebuild
 
     def make_cache(camera, T, kfs) -> TapCache:
-        def local(points, intensity, valid, tap_rows, *slabs):
-            lk = NIDKeyframe(points, intensity, valid, None, tap_rows,
-                             slabs[0] if slabs else None)
+        _, _, rebuild = _table_args(kfs)
+
+        def local(points, intensity, valid, tap_rows, *extras):
+            lk = rebuild(points, intensity, valid, tap_rows, *extras)
             proj, knot, inl = _project_all(camera, T, lk)
-            taps = _gather_taps(camera, lk, knot, inl)
+            if _nid._wide_margin_of(lk):
+                taps = _nid._gather_wide(camera, lk, knot)
+            else:
+                taps = _gather_taps(camera, lk, knot, inl)
             return taps, knot, inl.astype(proj.dtype)
 
-        args, specs = _slab_args(kfs)
+        args, specs, _ = _table_args(kfs)
+        # Wide caches are (K, rows, N): the point axis moves to position 2.
+        taps_spec = (
+            P(mesh_lib.KF_AXIS, None, mesh_lib.PT_AXIS)
+            if kfs.tap_wide is not None
+            else pkp
+        )
         taps, knot, inlf = jax.shard_map(
             local,
             mesh=mesh,
             check_vma=False,
             in_specs=(pkp, pkp, pkp, pk) + specs,
-            out_specs=(pkp, pkp, pkp),
+            out_specs=(taps_spec, pkp, pkp),
         )(kfs.points, kfs.intensity, kfs.valid, kfs.tap_rows, *args)
-        return TapCache(taps, knot, inlf, jnp.asarray(1, jnp.int32))
+        return TapCache(
+            taps,
+            knot,
+            inlf,
+            jnp.asarray(1, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0.0, jnp.float32),
+        )
 
     def cached_loss(
         camera, T, kfs, cache, bins, guard_frac=0.25, allow_refresh=True
     ):
+        margin = _nid._wide_margin_of(kfs)
+        _, _, rebuild = _table_args(kfs)
+
         def local(points, intensity, valid, tap_rows, c_taps, c_knot, c_inl,
-                  *slabs):
-            lk = NIDKeyframe(points, intensity, valid, None, tap_rows,
-                             slabs[0] if slabs else None)
+                  *extras):
+            lk = rebuild(points, intensity, valid, tap_rows, *extras)
             proj, knot_true, inl_true = _project_all(camera, T, lk)
 
             shift = jnp.max(
@@ -175,25 +226,89 @@ def make_sharded_frozen(mesh: Mesh):
                 axis=-1,
             )
             care = inl_true | (c_inl > 0)
+            thr = jnp.float32(margin + 1.0)
+            drifted = (shift >= thr) & care
             n_care = jnp.maximum(
                 jax.lax.psum(jnp.sum(care), both), 1
             ).astype(jnp.float32)
-            frac1 = jax.lax.psum(jnp.sum((shift >= 1.0) & care), both) / n_care
-            frac2 = jax.lax.psum(jnp.sum((shift >= 2.0) & care), both) / n_care
+            frac1 = jax.lax.psum(jnp.sum(drifted), both) / n_care
+            frac2 = jax.lax.psum(
+                jnp.sum((shift >= thr + 1.0) & care), both
+            ) / n_care
             stale = ((frac1 > guard_frac) | (frac2 > 0.001)) & allow_refresh
 
-            def fresh(_):
-                return (
-                    _gather_taps(camera, lk, knot_true, inl_true),
-                    knot_true,
-                    inl_true.astype(proj.dtype),
-                )
+            k_loc, n_loc = points.shape[0], points.shape[1]
+            block = _PARTIAL_BLOCK
+            nb = n_loc // block if n_loc % block == 0 else 0
+            cap = int(round(nb * partial_frac)) if partial_frac > 0 else 0
+            inl_true_f = inl_true.astype(proj.dtype)
 
-            taps, knot, inlf = jax.lax.cond(
-                stale, fresh, lambda _: (c_taps, c_knot, c_inl), None
+            def full(_):
+                taps_f = (
+                    _nid._gather_wide(camera, lk, knot_true)
+                    if margin
+                    else _gather_taps(camera, lk, knot_true, inl_true)
+                )
+                return taps_f, knot_true, inl_true_f, jnp.asarray(1, jnp.int32)
+
+            def fresh(_):
+                if 0 < cap <= nb:
+                    dirty = jnp.any(
+                        drifted.reshape(k_loc, nb, block), axis=2
+                    )
+                    can_partial = jnp.max(jnp.sum(dirty, axis=1)) <= cap
+                    in_dirty = jnp.broadcast_to(
+                        dirty[:, :, None], (k_loc, nb, block)
+                    ).reshape(k_loc, n_loc)
+
+                    def partial(_):
+                        # Same recenter rules as opt/nid.multi_nid_loss_cached:
+                        # wide windows keep clean points' anchors; margin 0
+                        # recenters wholesale (exact, bit-identical solves).
+                        if margin:
+                            taps_f = _nid._partial_refresh_wide(
+                                camera, lk, c_taps, knot_true, dirty, cap
+                            )
+                            knot_f = jnp.where(
+                                in_dirty[..., None], knot_true, c_knot
+                            )
+                            inl_f = jnp.where(in_dirty, inl_true_f, c_inl)
+                        else:
+                            taps_f = _partial_refresh_taps(
+                                camera, lk, c_taps, knot_true, dirty, cap
+                            )
+                            knot_f = knot_true
+                            inl_f = inl_true_f
+                        return taps_f, knot_f, inl_f, jnp.asarray(1, jnp.int32)
+
+                    t_, k_, i_, _one = jax.lax.cond(
+                        can_partial, partial, full, None
+                    )
+                    return t_, k_, i_, can_partial.astype(jnp.int32)
+
+                t_, k_, i_, _one = full(None)
+                return t_, k_, i_, jnp.asarray(0, jnp.int32)
+
+            taps, knot, inlf, part = jax.lax.cond(
+                stale,
+                fresh,
+                lambda _: (c_taps, c_knot, c_inl, jnp.asarray(0, jnp.int32)),
+                None,
             )
+            # Replicated diagnostic: partial only if every device was.
+            part = jax.lax.pmin(jax.lax.pmin(part, mesh_lib.KF_AXIS),
+                                mesh_lib.PT_AXIS)
+            if margin:
+                dk = jnp.clip(knot_true - knot, -margin, margin)
+                taps_eval = _nid._select_from_wide(taps, dk, margin)
+                eff_knot = knot + dk
+            else:
+                taps_eval = taps
+                eff_knot = knot
             s = jnp.clip(
-                proj - jax.lax.stop_gradient(knot).astype(proj.dtype), -1.5, 2.5
+                proj - jax.lax.stop_gradient(eff_knot).astype(proj.dtype),
+                -1.5,
+                2.5,
             )
 
             def per_kf(taps1, s1, inten1, inl1):
@@ -209,17 +324,25 @@ def make_sharded_frozen(mesh: Mesh):
                 num = jax.lax.psum(num, mesh_lib.PT_AXIS)
                 return nid_from_histograms(hj, hi, hp, num)
 
-            losses = jax.vmap(per_kf)(taps, s, intensity, inlf)
+            losses = jax.vmap(per_kf)(taps_eval, s, intensity, inlf)
             loss = jax.lax.psum(jnp.sum(losses), mesh_lib.KF_AXIS)
-            return loss, taps, knot, inlf, stale.astype(jnp.int32)
+            inc = stale.astype(jnp.int32)
+            return loss, taps, knot, inlf, inc, part, frac1 * inc.astype(
+                jnp.float32
+            )
 
-        args, specs = _slab_args(kfs)
-        loss, taps, knot, inlf, inc = jax.shard_map(
+        args, specs, _ = _table_args(kfs)
+        taps_spec = (
+            P(mesh_lib.KF_AXIS, None, mesh_lib.PT_AXIS)
+            if kfs.tap_wide is not None
+            else pkp
+        )
+        loss, taps, knot, inlf, inc, part, drift = jax.shard_map(
             local,
             mesh=mesh,
             check_vma=False,
-            in_specs=(pkp, pkp, pkp, pk, pkp, pkp, pkp) + specs,
-            out_specs=(P(), pkp, pkp, pkp, P()),
+            in_specs=(pkp, pkp, pkp, pk, taps_spec, pkp, pkp) + specs,
+            out_specs=(P(), taps_spec, pkp, pkp, P(), P(), P()),
         )(
             kfs.points,
             kfs.intensity,
@@ -230,7 +353,14 @@ def make_sharded_frozen(mesh: Mesh):
             cache.inlier,
             *args,
         )
-        return loss, TapCache(taps, knot, inlf, cache.refreshes + inc)
+        return loss, TapCache(
+            taps,
+            knot,
+            inlf,
+            cache.refreshes + inc,
+            cache.partials + part,
+            cache.drift_accum + drift,
+        )
 
     return make_cache, cached_loss
 
@@ -289,8 +419,11 @@ def refine_per_keyframe_sharded(
         "max_outer_iterations",
         "max_inner_iterations",
         "frozen_taps",
+        "frozen_partial_frac",
+        "frozen_margin",
         "coarse_outer_iterations",
         "coarse_stride",
+        "carry_hessian",
     ),
 )
 def refine_pose_sharded(
@@ -304,8 +437,12 @@ def refine_pose_sharded(
     max_inner_iterations: int = 64,
     frozen_taps: bool = False,
     frozen_guard_frac: float = 0.25,
+    frozen_partial_frac: float = 0.0,
+    frozen_margin: int = 0,
     coarse_outer_iterations: int = 0,
     coarse_stride: int = 4,
+    carry_hessian: bool = False,
+    ftol: float = 0.0,
 ):
     """Multi-device version of opt.refine.refine_pose (same semantics,
     including the optional frozen-tap gather reuse — the cache shards with
@@ -318,7 +455,9 @@ def refine_pose_sharded(
 
     # Tap tables built once, outside the solver loops (sharded over kf with
     # their bin images).
-    kfs = prepare_keyframes(kfs)
+    kfs = prepare_keyframes(
+        kfs, wide_margin=frozen_margin if frozen_taps else 0
+    )
     # refine_pose is itself jitted; calling it inside jit simply inlines.
     return refine_pose(
         camera,
@@ -330,7 +469,13 @@ def refine_pose_sharded(
         loss_fn=make_sharded_loss(mesh),
         frozen_taps=frozen_taps,
         frozen_guard_frac=frozen_guard_frac,
-        frozen_impl=make_sharded_frozen(mesh) if frozen_taps else None,
+        frozen_impl=(
+            make_sharded_frozen(mesh, partial_frac=frozen_partial_frac)
+            if frozen_taps
+            else None
+        ),
         coarse_outer_iterations=coarse_outer_iterations,
         coarse_stride=coarse_stride,
+        carry_hessian=carry_hessian,
+        ftol=ftol,
     )

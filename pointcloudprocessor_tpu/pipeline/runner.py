@@ -324,6 +324,15 @@ def _process_stages(cfg, camera, filtered_dir, result, timings, metrics):
                     kw.update(
                         frozen_taps=True,
                         frozen_guard_frac=cfg.nid.frozen_guard_frac,
+                        frozen_partial_frac=cfg.nid.frozen_partial_frac,
+                        frozen_margin=cfg.nid.frozen_margin,
+                    )
+                if not cfg.nid.per_keyframe and (
+                    cfg.nid.carry_hessian or cfg.nid.ftol
+                ):
+                    kw.update(
+                        carry_hessian=cfg.nid.carry_hessian,
+                        ftol=cfg.nid.ftol,
                     )
                 return refine_fn(
                     camera,

@@ -159,6 +159,24 @@ class NIDConfig:
     # evaluation. False = reference-faithful (gather every evaluation).
     frozen_taps: bool = False
     frozen_guard_frac: float = 0.25
+    # Partial (drifted-blocks-only) cache refresh capacity, as a fraction of
+    # each keyframe's 128-point blocks (opt/nid._partial_refresh_taps):
+    # refreshes whose dirty-block count fits re-gather only those blocks —
+    # bit-identical cache for every live point, drift-proportional cost.
+    # 0 disables (round-4 behavior: every refresh re-gathers all rows).
+    frozen_partial_frac: float = 0.0
+    # Wide frozen-cache window margin in pixels (0..2; opt/nid
+    # build_wide_tap_table): cache (4+2m)^2 tap windows so anchors may
+    # drift +-m px with an exact VPU sub-window select before any refresh
+    # is needed. 0 = round-4 behavior (4x4 rows, 1 px guard).
+    frozen_margin: int = 0
+    # Warm-start each inner BFGS with the previous solve's inverse-Hessian
+    # (outer iterations re-solve the same objective from a nearby pose;
+    # Ceres restarts from identity every ceres::Solve, :204-233).
+    carry_hessian: bool = False
+    # Relative function-decrease inner-solve exit (Ceres function_tolerance
+    # semantics); 0 disables.
+    ftol: float = 0.0
     # Pose-graph fusion of the per-keyframe corrections with the VO chain
     # (opt/pose_graph.py): non-converged refinements ride the odometry,
     # converged ones pull the trajectory. Only used with per_keyframe.

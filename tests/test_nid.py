@@ -387,6 +387,232 @@ def test_frozen_taps_large_step_refreshes_to_exact():
     assert float(l_frz) == float(nid.multi_nid_loss(c, T1, kfs))
 
 
+def _partial_ready_batch(c):
+    """Single-keyframe batch with N divisible by the 128-point partial
+    block (nid_scene's default 60x60 = 3600 is not)."""
+    pts, inten, img = nid_scene(c, n_side=64)
+    kf = make_keyframe(c, pts, inten, img)
+    return nid.prepare_keyframes(nid.NIDKeyframe(
+        points=kf.points[None],
+        intensity=kf.intensity[None],
+        valid=kf.valid[None],
+        bin_image=kf.bin_image[None],
+    ))
+
+
+def test_partial_refresh_bit_exact_vs_full():
+    """A refresh served by the partial (drifted-blocks-only) path must
+    produce a cache bit-identical to the full re-gather for every live
+    point, and the identical loss: an int32 anchor that moved <1 px did
+    not move, so clean blocks' cached rows equal a fresh gather's."""
+    c = simple_camera()
+    kfs = _partial_ready_batch(c)
+    T0 = se3.exp(jnp.asarray([0.02, -0.01, 0.01, 0.004, -0.002, 0.004], jnp.float32))
+    fx = float(c.intrinsic[0])
+    # ~0.5 px shift: roughly half the anchors cross a pixel boundary.
+    T1 = se3.compose(
+        T0, se3.exp(jnp.asarray([0.5 * 5.0 / fx, 0, 0, 0, 0, 0], jnp.float32))
+    )
+
+    def run(partial_frac):
+        cache = nid.make_tap_cache(c, T0, kfs)
+        return nid.multi_nid_loss_cached(
+            c, T1, kfs, cache, guard_frac=0.0, partial_frac=partial_frac
+        )
+
+    l_full, c_full = run(0.0)
+    l_part, c_part = run(1.0)
+    assert int(c_full.partials) == 0 and int(c_part.partials) == 1
+    assert int(c_part.refreshes) == 2
+    assert float(l_part) == float(l_full)
+    live = np.asarray(c_full.inlier) > 0
+    np.testing.assert_array_equal(
+        np.asarray(c_part.taps)[live], np.asarray(c_full.taps)[live]
+    )
+    np.testing.assert_array_equal(np.asarray(c_part.knot), np.asarray(c_full.knot))
+    np.testing.assert_array_equal(
+        np.asarray(c_part.inlier), np.asarray(c_full.inlier)
+    )
+    assert float(c_part.drift_accum) > 0.2  # ~half the anchors crossed
+
+
+def test_partial_refresh_capacity_fallback_is_full():
+    """When the dirty-block count exceeds the partial capacity, the refresh
+    takes the full gather — same cache, partials counter untouched."""
+    c = simple_camera()
+    kfs = _partial_ready_batch(c)
+    T0 = se3.exp(jnp.asarray([0.02, -0.01, 0.01, 0.004, -0.002, 0.004], jnp.float32))
+    fx = float(c.intrinsic[0])
+    T1 = se3.compose(
+        T0, se3.exp(jnp.asarray([1.5 * 5.0 / fx, 0, 0, 0, 0, 0], jnp.float32))
+    )
+    cache = nid.make_tap_cache(c, T0, kfs)
+    # A 1.5 px uniform shift drifts EVERY anchor -> every block dirty ->
+    # count > cap at any partial_frac < 1.
+    l_cap, c_cap = nid.multi_nid_loss_cached(
+        c, T1, kfs, cache, guard_frac=0.0, partial_frac=0.25
+    )
+    assert int(c_cap.refreshes) == 2 and int(c_cap.partials) == 0
+    assert float(l_cap) == float(nid.multi_nid_loss(c, T1, kfs))
+
+
+def test_refine_partial_refresh_solve_is_bit_identical():
+    """frozen_taps with partial_frac=1.0 (every refresh through the partial
+    path) must reproduce the frozen solve BIT-IDENTICALLY: same pose, same
+    NID, same evaluation count — the partial refresh is not a surrogate,
+    it is the same cache computed cheaper."""
+    c = simple_camera()
+    kfs = _partial_ready_batch(c)
+    T0 = se3.exp(jnp.asarray([0.02, -0.015, 0.01, 0.006, -0.004, 0.008], jnp.float32))
+    # sort_points pinned equal: the partial default enables the raster sort
+    # (block coherence), which only changes f32 summation order — pin it
+    # off so the comparison isolates the refresh path.
+    kw = dict(max_inner_iterations=60, max_outer_iterations=5,
+              frozen_taps=True, sort_points=False)
+    frozen = refine.refine_pose(c, kfs, T0, **kw)
+    partial = refine.refine_pose(c, kfs, T0, frozen_partial_frac=1.0, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(frozen.T_camera_lidar.q), np.asarray(partial.T_camera_lidar.q)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(frozen.T_camera_lidar.t), np.asarray(partial.T_camera_lidar.t)
+    )
+    assert float(frozen.nid) == float(partial.nid)
+    assert int(frozen.evaluations) == int(partial.evaluations)
+    assert int(partial.partial_gathers) >= 1
+    assert int(frozen.partial_gathers) == 0
+
+
+def _wide_batch(c, margin=2):
+    pts, inten, img = nid_scene(c, n_side=64)
+    kf = make_keyframe(c, pts, inten, img)
+    return nid.prepare_keyframes(
+        nid.NIDKeyframe(
+            points=kf.points[None],
+            intensity=kf.intensity[None],
+            valid=kf.valid[None],
+            bin_image=kf.bin_image[None],
+        ),
+        wide_margin=margin,
+    )
+
+
+def _px_shift(c, px, wall_z=5.0):
+    fx = float(c.intrinsic[0])
+    return se3.exp(jnp.asarray([px * wall_z / fx, 0, 0, 0, 0, 0], jnp.float32))
+
+
+def test_wide_cache_exact_within_margin_no_refresh():
+    """With a margin-2 wide window cache, a 1.5 px anchor drift must (a)
+    fire NO refresh and (b) still evaluate the EXACT objective bit-for-bit
+    (value and gradient): the VPU sub-window select reproduces the fresh
+    4x4 tap row for every in-margin point."""
+    c = simple_camera()
+    kfs = _wide_batch(c, margin=2)
+    T0 = se3.exp(jnp.asarray([0.02, -0.01, 0.01, 0.004, -0.002, 0.004], jnp.float32))
+    cache = nid.make_tap_cache(c, T0, kfs)
+    T1 = se3.compose(T0, _px_shift(c, 1.5))
+
+    def frozen(xi, cache):
+        return nid.multi_nid_loss_cached(
+            c, se3.compose(T1, se3.exp(xi)), kfs, cache
+        )
+
+    (l_frz, cache2), g_frz = jax.value_and_grad(frozen, has_aux=True)(
+        jnp.zeros(6, jnp.float32), cache
+    )
+    l_fresh, g_fresh = jax.value_and_grad(
+        lambda xi: nid.multi_nid_loss(c, se3.compose(T1, se3.exp(xi)), kfs)
+    )(jnp.zeros(6, jnp.float32))
+    assert int(cache2.refreshes) == 1, "1.5 px must stay within margin 2"
+    assert float(l_frz) == float(l_fresh)
+    np.testing.assert_array_equal(np.asarray(g_frz), np.asarray(g_fresh))
+
+
+def test_wide_cache_beyond_margin_refreshes_to_exact():
+    c = simple_camera()
+    kfs = _wide_batch(c, margin=2)
+    T0 = se3.exp(jnp.asarray([0.02, -0.01, 0.01, 0.004, -0.002, 0.004], jnp.float32))
+    cache = nid.make_tap_cache(c, T0, kfs)
+    T1 = se3.compose(T0, _px_shift(c, 4.5))
+    l_frz, cache2 = nid.multi_nid_loss_cached(c, T1, kfs, cache)
+    assert int(cache2.refreshes) == 2, "4.5 px must trip the margin-2 guard"
+    assert float(l_frz) == float(nid.multi_nid_loss(c, T1, kfs))
+
+
+def test_wide_partial_refresh_loss_matches_full():
+    """Wide mode + partial refresh: the refreshed evaluation must equal the
+    full-refresh evaluation exactly (clean points' sub-window selects and
+    dirty blocks' recentred windows read the same image bins)."""
+    c = simple_camera()
+    kfs = _wide_batch(c, margin=1)
+    T0 = se3.exp(jnp.asarray([0.02, -0.01, 0.01, 0.004, -0.002, 0.004], jnp.float32))
+    T1 = se3.compose(T0, _px_shift(c, 2.5))  # beyond margin 1 -> refresh
+
+    def run(pf):
+        cache = nid.make_tap_cache(c, T0, kfs)
+        return nid.multi_nid_loss_cached(
+            c, T1, kfs, cache, guard_frac=0.0, partial_frac=pf
+        )
+
+    l_full, c_full = run(0.0)
+    l_part, c_part = run(1.0)
+    assert int(c_part.partials) == 1 and int(c_full.partials) == 0
+    assert float(l_part) == float(l_full)
+    assert float(l_part) == float(nid.multi_nid_loss(c, T1, kfs))
+
+
+def test_refine_wide_margin_solve_parity_and_fewer_gathers():
+    """frozen_taps + frozen_margin=2: same convergence quality as the exact
+    solve, with no more gathers than the margin-0 frozen solve (the wide
+    window absorbs the sub-margin refreshes)."""
+    c = simple_camera()
+    kfs = _wide_batch(c, margin=0)._replace(tap_wide=None)
+    xi = jnp.asarray([0.02, -0.015, 0.01, 0.006, -0.004, 0.008], jnp.float32)
+    T0 = se3.exp(xi)
+    kw = dict(max_inner_iterations=60, max_outer_iterations=5, frozen_taps=True)
+    frozen0 = refine.refine_pose(c, kfs, T0, **kw)
+    wide = refine.refine_pose(c, kfs, T0, frozen_margin=2, **kw)
+    dt, dr = se3.delta_magnitudes(wide.T_camera_lidar, se3.identity())
+    assert float(dt) < 0.01 and float(dr) < 0.017453
+    assert float(wide.nid) < float(frozen0.nid) + 1e-3
+    assert int(wide.gathers) <= int(frozen0.gathers), (
+        int(wide.gathers), int(frozen0.gathers))
+
+
+def test_bfgs_warm_hessian_and_ftol():
+    """H0 warm start on a quadratic whose true inverse Hessian is supplied
+    converges in ~one iteration; ftol stops a slowly-improving solve early
+    at a near-optimal value."""
+    A = jnp.asarray([[4.0, 1.0], [1.0, 3.0]], jnp.float32)
+
+    def f(x):
+        return 0.5 * jnp.dot(x, A @ x)
+
+    x0 = jnp.asarray([2.0, -1.5], jnp.float32)
+    cold = bfgs.minimize(f, x0, max_iterations=50)
+    warm = bfgs.minimize(
+        f, x0, max_iterations=50, H0=jnp.linalg.inv(A), scale_initial=False
+    )
+    assert float(jnp.linalg.norm(warm.x)) < 1e-4
+    assert int(warm.evaluations) < int(cold.evaluations)
+
+    def rosen_offset(x):
+        # +10 offset: like the NID sum, the objective converges to a
+        # nonzero value, so late plateau drops are small RELATIVE to it —
+        # the regime the relative-decrease exit is for.
+        return 10.0 + (1 - x[0]) ** 2 + 100.0 * (x[1] - x[0] ** 2) ** 2
+
+    tight = bfgs.minimize(rosen_offset, jnp.asarray([-1.2, 1.0], jnp.float32),
+                          max_iterations=200)
+    loose = bfgs.minimize(rosen_offset, jnp.asarray([-1.2, 1.0], jnp.float32),
+                          max_iterations=200, ftol=1e-3)
+    assert int(loose.evaluations) < int(tight.evaluations)
+    # Stops mid-valley (that's the tradeoff the knob buys); the NID use
+    # case sweeps ftol at full scale with pose-error checks (bench.py).
+    assert float(loose.value) < 25.0  # real progress from f(x0) = 34.2
+
+
 def test_refine_frozen_taps_matches_exact_solve():
     """frozen_taps solve: recovers the planted perturbation to the reference
     thresholds and lands at an objective value at parity with the exact
