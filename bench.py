@@ -792,6 +792,12 @@ def bench_e2e(width, height, n_map, n_cull, k):
                 width=width,
                 height=height,
             ),
+            # VGD upsampling is off for the e2e timing: the reference's
+            # 1 mm voxel / 4-iteration dilation is sized for its close-range
+            # scans — on this synthetic 6 m wall it dilates to ~10^8 voxel
+            # centers (measured: a 54 GB allocation at the (N,3) minor-dim
+            # layout), which is a scene mismatch, not a pipeline cost.
+            mls=cfg_mod.MLSConfig(upsampling="none"),
             nid=cfg_mod.NIDConfig(
                 max_outer_iterations=2,
                 max_inner_iterations=10,

@@ -116,11 +116,14 @@ def timed_wide_build(bin_images, seed, reps, margin):
     return jax.lax.fori_loop(0, reps, body, (bin_images, jnp.int32(seed)))
 
 
-@functools.partial(jax.jit, static_argnames=("reps", "partial_frac", "px_step"))
-def timed_refresh(camera, kfs, xi0, reps, partial_frac, px_step):
+@functools.partial(
+    jax.jit, static_argnames=("reps", "partial_frac", "px_step", "refresh")
+)
+def timed_refresh(camera, kfs, xi0, reps, partial_frac, px_step, refresh=True):
     """Chained cached-loss evaluations with a pose that translates by
     ~px_step pixels per iteration (guard_frac=0 -> every iteration
-    refreshes). partial_frac selects the refresh path. Returns the final
+    refreshes; refresh=False pins allow_refresh off for the pure frozen
+    eval cost). partial_frac selects the refresh path. Returns the final
     cache counters so drift fractions and partial counts are observable."""
     cache0 = nid.make_tap_cache(camera, se3.exp(xi0), kfs)
     # ~px_step pixels at the scene's mean depth (6 m) and focal length.
@@ -131,7 +134,9 @@ def timed_refresh(camera, kfs, xi0, reps, partial_frac, px_step):
         xi, acc, cache = carry
         T = se3.exp(xi)
         loss, cache = nid.multi_nid_loss_cached(
-            camera, T, kfs, cache, guard_frac=0.0, partial_frac=partial_frac
+            camera, T, kfs, cache, guard_frac=0.0,
+            allow_refresh=jnp.asarray(refresh),
+            partial_frac=partial_frac,
         )
         xi2 = xi.at[0].add(dx + 1e-9 * (loss - jax.lax.stop_gradient(loss)))
         xi2 = xi2.at[1].add(1e-12 * loss)  # unfoldable chain through loss
@@ -140,15 +145,24 @@ def timed_refresh(camera, kfs, xi0, reps, partial_frac, px_step):
     return jax.lax.fori_loop(0, reps, body, (xi0, jnp.float32(0.0), cache0))
 
 
-def run(fn, label, reps, *args):
-    out = jax.block_until_ready(fn(*args))
+def run(fn, label, reps, floor_ms=0.5):
+    """Time fn(attempt) with FRESH inputs per attempt (identical-buffer
+    re-runs are the usual axon bogus-fast trigger) and a physical floor."""
+    out = jax.block_until_ready(fn(0))
     times = []
-    for _ in range(3):
+    attempt = 1
+    while len(times) < 3 and attempt < 9:
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(*args))
-        times.append((time.perf_counter() - t0) / reps * 1e3)
-    med = sorted(times)[1]
-    print(f"# {label}: {times[0]:.3f}/{times[1]:.3f}/{times[2]:.3f} "
+        out = jax.block_until_ready(fn(attempt))
+        dt = (time.perf_counter() - t0) / reps * 1e3
+        attempt += 1
+        if dt < floor_ms:
+            print(f"# bogus wall for {label}: {dt:.3f} ms — retry",
+                  file=sys.stderr)
+            continue
+        times.append(dt)
+    med = sorted(times)[len(times) // 2] if times else float("nan")
+    print(f"# {label}: {'/'.join(f'{t:.3f}' for t in times)} "
           f"-> {med:.3f} ms/rep", file=sys.stderr)
     return med, out
 
@@ -176,16 +190,19 @@ def main():
     # --- 1. row-width tax -------------------------------------------------
     r = width * height
     key = jax.random.PRNGKey(0)
-    idx = jax.random.randint(key, (k * n_pts,), 0, r, jnp.int32)
-    idx = jax.block_until_ready(jnp.sort(idx))
+    idx0 = jax.random.randint(key, (k * n_pts,), 0, r, jnp.int32)
+    idx0 = jax.block_until_ready(jnp.sort(idx0))
     for w in (2, 4, 8):
         table = jax.block_until_ready(
             jax.random.randint(jax.random.PRNGKey(w), (r, w), -(2**31), 2**31 - 1,
                                jnp.int32)
         )
         ms, (_, acc) = run(
-            functools.partial(timed_take_width, table, idx, reps, w),
+            lambda a, t=table, w_=w: timed_take_width(
+                t, jnp.minimum(idx0 + a, r - 1), reps, w_
+            ),
             f"take (R,{w}) rows, {k * n_pts / 1e6:.1f}M sorted idx", reps,
+            floor_ms=2.0,
         )
         out[f"take_w{w}_ms"] = round(ms, 3)
         del table
@@ -194,19 +211,33 @@ def main():
     camera, kfs = build_scene(width, height, n_pts, k)
     kfs = jax.jit(functools.partial(nid.prepare_keyframes, build_slabs=False))(kfs)
     jax.block_until_ready(kfs.tap_rows)
+    build_reps = max(reps // 2, 2)
     ms, _ = run(
-        functools.partial(timed_wide_build, kfs.bin_image, 0, max(reps // 2, 2), 2),
-        f"wide margin-2 table build, {k} keyframes", max(reps // 2, 2),
+        lambda a: timed_wide_build(
+            kfs.bin_image ^ (a & 1), 0, build_reps, 2
+        ),
+        f"wide margin-2 table build, {k} keyframes", build_reps,
+        floor_ms=1.0,
     )
     out["wide_build_ms"] = round(ms, 3)
 
     # --- 3. partial refresh reality check -----------------------------------
-    xi0 = jnp.asarray([0.01, -0.005, 0.002, 0.001, -0.001, 0.001], jnp.float32)
+    xi_base = jnp.asarray([0.01, -0.005, 0.002, 0.001, -0.001, 0.001], jnp.float32)
+
+    def xi_at(a):
+        return xi_base.at[1].add(1e-6 * a)
+
+    def refresh_case(kk, pf, px, tag, refresh=True):
+        ms, (_, acc, cache) = run(
+            lambda a: timed_refresh(camera, kk, xi_at(a), reps, pf, px, refresh),
+            tag, reps, floor_ms=1.0,
+        )
+        return ms, acc, cache
+
     for px in (0.1, 0.33):
         for pf, tag in ((0.0, "full"), (1.0, "partial")):
-            ms, (_, acc, cache) = run(
-                functools.partial(timed_refresh, camera, kfs, xi0, reps, pf, px),
-                f"cached eval + refresh/iter, {px} px/iter, {tag}", reps,
+            ms, acc, cache = refresh_case(
+                kfs, pf, px, f"cached eval + refresh/iter, {px} px/iter, {tag}"
             )
             out[f"refresh_{tag}_{px}px_ms"] = round(ms, 3)
             if pf:
@@ -214,25 +245,37 @@ def main():
             out[f"refresh_{tag}_{px}px_drift"] = round(
                 float(cache.drift_accum) / max(int(cache.refreshes), 1), 4
             )
-            out[f"refresh_{tag}_{px}px_acc"] = float(acc)
-    # exactness tripwire: partial and full accumulators must match bitwise
-    for px in (0.1, 0.33):
-        a, b = out[f"refresh_full_{px}px_acc"], out[f"refresh_partial_{px}px_acc"]
-        assert a == b, f"partial diverges from full at {px}px: {a} vs {b}"
-        del out[f"refresh_full_{px}px_acc"], out[f"refresh_partial_{px}px_acc"]
+        # ON-CHIP exactness tripwire at a FIXED input: partial and full
+        # refresh paths must produce bitwise-equal chained losses.
+        a_full = jax.block_until_ready(
+            timed_refresh(camera, kfs, xi_at(99), reps, 0.0, px)
+        )[1]
+        a_part = jax.block_until_ready(
+            timed_refresh(camera, kfs, xi_at(99), reps, 1.0, px)
+        )[1]
+        assert float(a_full) == float(a_part), (px, a_full, a_part)
+
+    # Pure frozen-eval cost, margin 0 (allow_refresh False): the comparator
+    # for the wide select penalty below.
+    ms, _, _ = refresh_case(
+        kfs, 0.0, 0.33, "frozen eval m=0, NO refresh", refresh=False
+    )
+    out["frozen_eval_m0_ms"] = round(ms, 3)
 
     # --- 4. WIDE margin-2 cache -------------------------------------------
-    # (a) sub-margin motion: zero refreshes -> the pure select-eval cost
-    #     (vs the margin-0 frozen eval at the same motion, which refreshes);
-    # (b) super-margin motion: the wide full-refresh cost per eval.
+    # (a) pure select-eval cost (no refreshes allowed);
+    # (b) sub-margin motion with the guard live (margin absorbs refreshes);
+    # (c) super-margin motion: the wide full-refresh cost per eval.
     kfs_wide = jax.jit(
         functools.partial(nid.prepare_keyframes, wide_margin=2)
     )(kfs)
     jax.block_until_ready(kfs_wide.tap_wide)
-    for px, tag in ((0.33, "inmargin"), (3.5, "refresh")):
-        ms, (_, acc, cache) = run(
-            functools.partial(timed_refresh, camera, kfs_wide, xi0, reps, 0.0, px),
-            f"WIDE m=2 cached eval, {px} px/iter", reps,
+    for px, tag, refresh in (
+        (0.33, "noref", False), (0.33, "inmargin", True), (3.5, "refresh", True)
+    ):
+        ms, _, cache = refresh_case(
+            kfs_wide, 0.0, px, f"WIDE m=2 cached eval, {px} px/iter, {tag}",
+            refresh=refresh,
         )
         out[f"wide_{tag}_ms"] = round(ms, 3)
         out[f"wide_{tag}_refreshes"] = int(cache.refreshes)
