@@ -92,32 +92,73 @@ def _camera_to_world(frames, idx, T_l2c: Optional[se3.SE3] = None) -> se3.SE3:
     return base if T_l2c is None else se3.compose(base, se3.inverse(T_l2c))
 
 
-def cull_keyframe_host(camera, map_cloud, T_c2w, cfg) -> np.ndarray:
-    """Visibility indices for one keyframe (host-compacted)."""
-    T_w2c = se3.inverse(T_c2w)
-    if cfg.culling.method == "hpr":
+import functools
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("method", "downsample_factor", "impl", "dense_cutoff"),
+)
+def _cull_device(
+    camera,
+    q_c2w,
+    t_c2w,
+    points,
+    valid,
+    *,
+    method,
+    downsample_factor,
+    depth_epsilon,
+    radius,
+    tolerance,
+    impl,
+    dense_cutoff,
+):
+    """One jitted dispatch per keyframe cull: eager op-by-op execution costs
+    seconds per op over the axon tunnel (CLAUDE.md), so the pose algebra +
+    transform + cull chain must be one compiled program. Takes the
+    camera-to-world pose and inverts inside the trace."""
+    T_w2c = se3.inverse(se3.SE3(q_c2w, t_c2w))
+    if method == "hpr":
         from ..ops import hpr
 
-        pts_cam, mask = hpr.cull_world_points(
-            camera,
-            T_w2c,
-            map_cloud.points,
-            map_cloud.valid,
-            radius=cfg.culling.hidden_points_removal_max_z,
-            tolerance=cfg.culling.hpr_tolerance,
-            impl=cfg.culling.hpr_impl,
-            dense_cutoff=cfg.culling.hpr_dense_cutoff,
+        return hpr.cull_world_points(
+            camera, T_w2c, points, valid,
+            radius=radius, tolerance=tolerance,
+            impl=impl, dense_cutoff=dense_cutoff,
         )
-    else:
-        pts_cam, mask = zbuffer.cull_world_points(
-            camera,
-            T_w2c,
-            map_cloud.points,
-            map_cloud.valid,
-            downsample_factor=cfg.culling.downsample_factor,
-            depth_epsilon=cfg.culling.depth_epsilon,
-        )
+    return zbuffer.cull_world_points(
+        camera, T_w2c, points, valid,
+        downsample_factor=downsample_factor, depth_epsilon=depth_epsilon,
+    )
+
+
+def cull_keyframe_host(camera, map_cloud, T_c2w, cfg) -> np.ndarray:
+    """Visibility indices for one keyframe (host-compacted)."""
+    pts_cam, mask = _cull_device(
+        camera,
+        T_c2w.q,
+        T_c2w.t,
+        map_cloud.points,
+        map_cloud.valid,
+        method=cfg.culling.method,
+        downsample_factor=cfg.culling.downsample_factor,
+        depth_epsilon=cfg.culling.depth_epsilon,
+        radius=cfg.culling.hidden_points_removal_max_z,
+        tolerance=cfg.culling.hpr_tolerance,
+        impl=cfg.culling.hpr_impl,
+        dense_cutoff=cfg.culling.hpr_dense_cutoff,
+    )
     return np.flatnonzero(np.asarray(mask)), np.asarray(pts_cam)
+
+
+_normalize_jit = jax.jit(cl.normalize_intensity)
+_quantize_jit = jax.jit(nid_mod.quantize_image, static_argnames=("bins",))
+
+
+@jax.jit
+def _points_in_frame(q_c2w, t_c2w, points):
+    return se3.transform_points(se3.inverse(se3.SE3(q_c2w, t_c2w)), points)
 
 
 def build_nid_keyframes(
@@ -143,7 +184,7 @@ def build_nid_keyframes(
     """
     cap = cfg.culled_capacity
     pts_list, int_list, val_list, bin_list = [], [], [], []
-    norm_cloud = cl.normalize_intensity(map_cloud)
+    norm_cloud = _normalize_jit(map_cloud)
     T_l2c = _extrinsic_lidar_to_cam(cfg)
     for j, i in enumerate(kf_idx):
         T_c2w = _frame_pose(frames[i], T_l2c)
@@ -159,7 +200,7 @@ def build_nid_keyframes(
         if T_correction is not None:
             # Raw-frame coordinates for the selected (re-culled) indices.
             pts_cam = np.asarray(
-                se3.transform_points(se3.inverse(T_c2w), norm_cloud.points)
+                _points_in_frame(T_c2w.q, T_c2w.t, norm_cloud.points)
             )
         if len(vis_idx) > cap:
             vis_idx = vis_idx[np.linspace(0, len(vis_idx) - 1, cap).astype(np.int64)]
@@ -173,7 +214,7 @@ def build_nid_keyframes(
         int_list.append(it)
         val_list.append(v)
         gray = img_io.load_gray_normalized(frames[i].image_path)
-        bin_list.append(np.asarray(nid_mod.quantize_image(jnp.asarray(gray), cfg.nid.bins)))
+        bin_list.append(np.asarray(_quantize_jit(jnp.asarray(gray), bins=cfg.nid.bins)))
         if save_dir:
             ts = ingest.cpp_timestamp(frames[i].timestamp)
             pcd.write(
