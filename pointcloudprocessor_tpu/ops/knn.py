@@ -117,6 +117,65 @@ _OFFSETS = jnp.asarray(
 )  # (27, 3)
 
 
+def pack_cell_key(cells: jnp.ndarray):
+    """(…, 3) int32 cell coords -> (key, fits): a UNIQUE int32 key per cell
+    when every coordinate lies in [-512, 511] (a 1024-cell extent per axis —
+    e.g. 30 m at the MLS 0.03 m cell). Unlike :func:`voxel_hash`, the key is
+    collision-free within bounds, which the dedup candidate fetch needs for
+    exact run grouping; ``fits`` gates the fallback when the cloud exceeds
+    the packable extent."""
+    c = cells + jnp.int32(512)
+    fits = jnp.all((c >= 0) & (c < 1024))
+    key = c[..., 0] | (c[..., 1] << jnp.int32(10)) | (c[..., 2] << jnp.int32(20))
+    return key, fits
+
+
+def candidate_points_dedup(
+    grid: HashGrid,
+    q_chunk: jnp.ndarray,  # (M, 3) queries, grouped by cell (runs)
+    key_chunk: jnp.ndarray,  # (M,) collision-free cell keys of the queries
+    run_cap: int,
+):
+    """Run-deduplicated candidate coordinate planes.
+
+    For queries arriving grouped by cell (runs of equal ``key_chunk``), the
+    27-cell candidate window is IDENTICAL within a run, so it is fetched
+    once per run LEADER and broadcast to the run — the (M, 27) per-query
+    bucket-row gather (the per-index emitter tax that dominates the MLS
+    moments pass) shrinks to (run_cap, 27). Returns
+    ``(cx, cy, cz, ok)``: ``ok`` False when the chunk holds more than
+    ``run_cap`` runs — the caller must fall back to the per-query fetch
+    (`candidate_points`), so exactness is unconditional.
+
+    Replaces the kd-tree radius queries PCL MLS runs per point
+    (`cloudSmooth.cpp:124-154`): the reference's kd-tree gets cache reuse
+    between nearby queries for free; this is the TPU equivalent — explicit
+    reuse of the shared bucket window across a cell's queries.
+    """
+    m = q_chunk.shape[0]
+    starts = jnp.concatenate(
+        [jnp.ones((1,), bool), key_chunk[1:] != key_chunk[:-1]]
+    )
+    run_id = jnp.cumsum(starts.astype(jnp.int32)) - 1  # (M,)
+    n_runs = run_id[-1] + 1
+    iota = jnp.arange(m, dtype=jnp.int32)
+    lead_pos = jnp.sort(jnp.where(starts, iota, jnp.int32(m)))[:run_cap]
+    lead_q = jnp.take(q_chunk, jnp.minimum(lead_pos, m - 1), axis=0)  # (R, 3)
+    cells = voxel_coords(lead_q, grid.cell_size)
+    neigh = cells[:, None, :] + _OFFSETS[None, :, :]
+    hashes = voxel_hash(neigh, grid.table_size)  # (R, 27)
+    rows = grid.bucket_points[hashes]  # (R, 27, 3B) — the deduplicated fetch
+    b = rows.shape[-1] // 3
+    wins = jnp.take(
+        rows.reshape(run_cap, -1), jnp.minimum(run_id, run_cap - 1), axis=0
+    )  # (M, 27*3B) window broadcast back to the run's queries
+    r27 = wins.reshape(m, 27, 3 * b)
+    cx = r27[..., 0 * b: 1 * b].reshape(m, -1)
+    cy = r27[..., 1 * b: 2 * b].reshape(m, -1)
+    cz = r27[..., 2 * b: 3 * b].reshape(m, -1)
+    return cx, cy, cz, n_runs <= run_cap
+
+
 def gather_candidates(grid: HashGrid, query_points: jnp.ndarray) -> jnp.ndarray:
     """(M, 27*B) candidate point indices (-1 = empty) from the 27 cells
     around each query point."""

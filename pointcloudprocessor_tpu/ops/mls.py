@@ -328,6 +328,7 @@ def fit_surfaces_moments(
         "table_size",
         "chunk_size",
         "fit_impl",
+        "dedup_candidates",
     ),
 )
 def _mls_smooth_jit(
@@ -342,12 +343,24 @@ def _mls_smooth_jit(
     table_size,
     chunk_size,
     fit_impl="moments",
+    dedup_candidates=False,
 ):
     """One-dispatch MLS pass: grid build + `lax.map` over query chunks, each
     chunk doing neighbor query -> weighted fit -> projection. The chunking
     bounds the (chunk, 27*B) candidate tensor in on-chip memory while XLA
     pipelines the chunks — no eager per-chunk dispatch (seconds each over the
-    axon tunnel)."""
+    axon tunnel).
+
+    ``dedup_candidates`` (moments fit only): process queries grouped by
+    voxel cell so each cell's 27-bucket candidate window is fetched once
+    per RUN instead of once per query (`knn.candidate_points_dedup`) —
+    per-index gather cost scales with index count, and the per-query fetch
+    is the moments pass's dominant term. One multi-payload sort groups the
+    queries at entry and one restores original order at exit (both cheap
+    next to the gathers); chunks with more runs than the capacity, or
+    clouds beyond the packable cell extent, fall back to the per-query
+    fetch inside a `lax.cond` — results are EXACTLY equal either way (same
+    candidate sets in the same bucket order)."""
     n = points.shape[0]
     grid = knn.build(
         points, valid, cell_size=search_radius,
@@ -355,11 +368,52 @@ def _mls_smooth_jit(
         store_points=True,  # row-gathered candidates (see knn.HashGrid)
     )
     pad = (-n) % chunk_size
-    qc = jnp.pad(points, ((0, pad), (0, 0))).reshape(-1, chunk_size, 3)
+    run_cap = chunk_size // 4
+    dedup = bool(dedup_candidates) and fit_impl == "moments"
+    if dedup:
+        from .voxel import voxel_coords, voxel_hash
 
-    def one(q):
+        cells = voxel_coords(points, search_radius)
+        key, fits = knn.pack_cell_key(cells)
+        h = jnp.where(valid, voxel_hash(cells, table_size), jnp.int32(table_size))
+        iota = jnp.arange(n, dtype=jnp.int32)
+        # Group queries by (hash, exact cell key): hash-major matches the
+        # bucket table's own grouping; the exact key splits rare hash
+        # collisions so run grouping never merges distinct cells.
+        _, key_s, xs, ys, zs, orig = jax.lax.sort(
+            (h, key, points[:, 0], points[:, 1], points[:, 2], iota),
+            num_keys=2,
+        )
+        q_all = jnp.stack([xs, ys, zs], axis=-1)
+        # Pad with a key no real cell produces (bit 30) so pad rows form
+        # their own run and never extend a real one.
+        key_all = jnp.pad(key_s, (0, pad), constant_values=jnp.int32(1 << 30))
+        q_pad = jnp.pad(q_all, ((0, pad), (0, 0)))
+        qc = q_pad.reshape(-1, chunk_size, 3)
+        kc = key_all.reshape(-1, chunk_size)
+    else:
+        fits = jnp.asarray(True)
+        qc = jnp.pad(points, ((0, pad), (0, 0))).reshape(-1, chunk_size, 3)
+        kc = jnp.zeros((qc.shape[0], chunk_size), jnp.int32)
+
+    def one(args):
+        q, kkey = args
         if fit_impl == "moments":
-            cx, cy, cz = knn.candidate_points(grid, q)
+            if dedup:
+                def fetch_dedup(_):
+                    cx, cy, cz, ok = knn.candidate_points_dedup(
+                        grid, q, kkey, run_cap
+                    )
+                    return jax.lax.cond(
+                        ok & fits,
+                        lambda c: c,
+                        lambda _: knn.candidate_points(grid, q),
+                        (cx, cy, cz),
+                    )
+
+                cx, cy, cz = fetch_dedup(None)
+            else:
+                cx, cy, cz = knn.candidate_points(grid, q)
             surf = fit_surfaces_moments(
                 q, cx, cy, cz, search_radius, sqr_gauss_param, polynomial_order
             )
@@ -374,8 +428,43 @@ def _mls_smooth_jit(
         pos, nrm = project_onto(surf, q)
         return surf, pos, nrm
 
-    surf, pos, nrm = jax.lax.map(one, qc)
-    unpad = lambda a: a.reshape((-1,) + a.shape[2:])[:n]
+    surf, pos, nrm = jax.lax.map(one, (qc, kc))
+    flat = lambda a: a.reshape((-1,) + a.shape[2:])
+    if dedup:
+        # Restore original order with ONE multi-payload sort keyed on the
+        # carried source indices (pad rows carry index >= n and sort to the
+        # end); payload-carrying sort beats 20+ per-index unsort gathers.
+        orig_pad = jnp.pad(orig, (0, pad), constant_values=jnp.int32(n))
+        s = jax.tree.map(flat, surf)
+        pos_f, nrm_f = flat(pos), flat(nrm)
+        (_, px_, py_, pz_, nx_, ny_, nz_, ox_, oy_, oz_, sn0, sn1, sn2,
+         tu0, tu1, tu2, tv0, tv1, tv2, c0, c1, c2, c3, c4, c5, ok_) = (
+            jax.lax.sort(
+                (orig_pad,
+                 pos_f[:, 0], pos_f[:, 1], pos_f[:, 2],
+                 nrm_f[:, 0], nrm_f[:, 1], nrm_f[:, 2],
+                 s.origin[:, 0], s.origin[:, 1], s.origin[:, 2],
+                 s.normal[:, 0], s.normal[:, 1], s.normal[:, 2],
+                 s.tangent_u[:, 0], s.tangent_u[:, 1], s.tangent_u[:, 2],
+                 s.tangent_v[:, 0], s.tangent_v[:, 1], s.tangent_v[:, 2],
+                 s.coeffs[:, 0], s.coeffs[:, 1], s.coeffs[:, 2],
+                 s.coeffs[:, 3], s.coeffs[:, 4], s.coeffs[:, 5],
+                 s.ok.astype(jnp.int8)),
+                num_keys=1,
+            )
+        )
+        pos_o = jnp.stack([px_, py_, pz_], -1)[:n]
+        nrm_o = jnp.stack([nx_, ny_, nz_], -1)[:n]
+        surf_o = MLSSurface(
+            origin=jnp.stack([ox_, oy_, oz_], -1)[:n],
+            normal=jnp.stack([sn0, sn1, sn2], -1)[:n],
+            tangent_u=jnp.stack([tu0, tu1, tu2], -1)[:n],
+            tangent_v=jnp.stack([tv0, tv1, tv2], -1)[:n],
+            coeffs=jnp.stack([c0, c1, c2, c3, c4, c5], -1)[:n],
+            ok=ok_[:n].astype(bool),
+        )
+        return pos_o, nrm_o, surf_o
+    unpad = lambda a: flat(a)[:n]
     return unpad(pos), unpad(nrm), jax.tree.map(unpad, surf)
 
 
@@ -385,6 +474,7 @@ def mls_smooth(
     cfg: MLSConfig,
     chunk_size: int = 16384,
     fit_impl: str = "moments",
+    dedup_candidates: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, MLSSurface]:
     """Smooth every valid point onto its local MLS surface.
 
@@ -399,6 +489,11 @@ def mls_smooth(
     weighted monomial moments — PCL's exact semantics (no neighbor cap) and
     the round-4 anatomy's fix for the dominant selection cost; "topk" is the
     round-2/3 approx_min_k path (truncates to cfg.max_neighbors).
+
+    ``dedup_candidates`` (moments only, default on): fetch each cell's
+    candidate window once per run of cell-grouped queries instead of once
+    per query — exactly equal results, at a fraction of the per-index
+    gather cost that dominates the pass (see `_mls_smooth_jit`).
     """
     n = points.shape[0]
     pos, nrm, surf = _mls_smooth_jit(
@@ -410,6 +505,7 @@ def mls_smooth(
         polynomial_order=int(cfg.polynomial_order),
         bucket_capacity=int(cfg.bucket_capacity),
         fit_impl=fit_impl,
+        dedup_candidates=dedup_candidates,
         # Half-size table: with bucket_points the table costs T*B*12 bytes,
         # and dense clouds occupy ~n/27 cells, so T=n/2 keeps the collision
         # rate negligible at a quarter of the 2n footprint.

@@ -135,6 +135,43 @@ class TestMLS:
         cosn = np.abs(np.sum(nm[both] * nt[both], axis=1))
         assert np.median(cosn) > 0.9999
 
+    def test_moments_dedup_candidates_bit_exact(self):
+        """dedup_candidates shares each cell's 27-bucket window across the
+        cell's queries; candidate sets and their bucket order are identical,
+        so the outputs must be BIT-exact vs the per-query fetch — including
+        when the run capacity overflows (fallback cond) and at mixed
+        densities."""
+        rng = np.random.default_rng(11)
+        # Dense patch + sparse halo (runs of ~20 and runs of ~1).
+        a = np.stack([rng.uniform(0, 0.5, 6000), rng.uniform(0, 0.5, 6000),
+                      0.02 * rng.standard_normal(6000)], -1)
+        b = np.stack([rng.uniform(-2, 0, 2000), rng.uniform(-2, 0, 2000),
+                      0.02 * rng.standard_normal(2000)], -1)
+        pts = jnp.asarray(np.concatenate([a, b]).astype(np.float32))
+        n = pts.shape[0]
+        valid = jnp.ones((n,), bool)
+        valid = valid.at[::97].set(False)  # some invalid points inside runs
+        cfg = MLSConfig(search_radius=0.03, sqr_gauss_param=0.0009)
+        out = {}
+        for dedup in (False, True):
+            pos, nrm, ok, _ = mls.mls_smooth(
+                pts, valid, cfg, chunk_size=2048, dedup_candidates=dedup
+            )
+            out[dedup] = (np.asarray(pos), np.asarray(nrm), np.asarray(ok))
+        np.testing.assert_array_equal(out[True][2], out[False][2])
+        np.testing.assert_array_equal(out[True][0], out[False][0])
+        np.testing.assert_array_equal(out[True][1], out[False][1])
+        # Tiny chunks force run-capacity overflow in sparse regions -> the
+        # fallback branch must produce the same results too.
+        pos_s, nrm_s, ok_s, _ = mls.mls_smooth(
+            pts, valid, cfg, chunk_size=64, dedup_candidates=True
+        )
+        pos_r, nrm_r, ok_r, _ = mls.mls_smooth(
+            pts, valid, cfg, chunk_size=64, dedup_candidates=False
+        )
+        np.testing.assert_array_equal(np.asarray(pos_s), np.asarray(pos_r))
+        np.testing.assert_array_equal(np.asarray(ok_s), np.asarray(ok_r))
+
     def test_quadric_recovery(self):
         # Points exactly on z = x^2 + y^2 must project (near-)onto itself.
         rng = np.random.default_rng(3)

@@ -35,21 +35,15 @@ def test_mesh_shapes():
     assert m2.shape["kf"] == len(jax.devices())
 
 
-def test_sharded_nid_matches_unsharded():
+def test_sharded_value_and_grad_match_unsharded():
+    # One test, one value_and_grad graph per implementation: the previous
+    # value-only and grad-only twins compiled FOUR sharded/serial graphs
+    # between them for the same coverage (~70 s of the suite was duplicate
+    # XLA compilation — the CPU backend cannot cache executables).
     c = simple_camera()
     # Point count must divide by pt axis (2): 3600 points -> pad to 3600 (ok).
     kfs = batched_keyframes(c, k=4)
     assert kfs.points.shape[1] % 2 == 0
-    m = mesh_lib.make_mesh(kf=4, pt=2)
-    T = se3.exp(jnp.asarray([0.02, 0, -0.01, 0.004, 0, 0.006], jnp.float32))
-    want = float(nid.multi_nid_loss(c, T, kfs))
-    got = float(nid_shard.sharded_multi_nid_loss(c, T, kfs, m))
-    np.testing.assert_allclose(got, want, rtol=2e-4)
-
-
-def test_sharded_grad_matches_unsharded():
-    c = simple_camera()
-    kfs = batched_keyframes(c, k=4)
     m = mesh_lib.make_mesh(kf=4, pt=2)
 
     def f_ref(xi):
@@ -59,9 +53,12 @@ def test_sharded_grad_matches_unsharded():
         return nid_shard.sharded_multi_nid_loss(c, se3.exp(xi), kfs, m)
 
     xi = jnp.asarray([0.02, -0.01, 0.0, 0.003, 0.0, -0.004], jnp.float32)
-    g_ref = np.asarray(jax.grad(f_ref)(xi))
-    g_shard = np.asarray(jax.grad(f_shard)(xi))
-    np.testing.assert_allclose(g_shard, g_ref, rtol=1e-3, atol=1e-5)
+    v_ref, g_ref = jax.value_and_grad(f_ref)(xi)
+    v_shard, g_shard = jax.value_and_grad(f_shard)(xi)
+    np.testing.assert_allclose(float(v_shard), float(v_ref), rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(g_shard), np.asarray(g_ref), rtol=1e-3, atol=1e-5
+    )
 
 
 def test_sharded_refine_recovers_pose():
