@@ -77,7 +77,32 @@ def main():
             u, v = cam.project_xyz(camera, x, y, z)
             score = fusion.final_score_xyz(x, y, z, rng_, t)
             out = jnp.sum(score) + jnp.sum(u) + jnp.sum(v)
-            if stage != "project":
+            if stage == "cull_pallas":
+                # Same z-buffer semantics, scatter-min served by the SMEM
+                # Pallas kernel (tools/zbuffer_probe) instead of XLA's
+                # scatter emitter — the VERDICT r4 #3 re-judgement, measured
+                # differentially inside the same honestly-timeable program
+                # (standalone scatter chains return bogus walls on axon).
+                from .zbuffer_probe import pallas_zmin
+
+                ds = 14
+                gw, gh = width // ds, height // ds
+                ok = valid & (z > 0.0) & cam.in_image_uv(camera, u, v)
+                ui = jnp.clip((u / ds).astype(jnp.int32), 0, gw - 1)
+                vi_ = jnp.clip((v / ds).astype(jnp.int32), 0, gh - 1)
+                cell = jnp.where(ok, vi_ * gw + ui, gw * gh)
+                rngm = jnp.where(ok, rng_, jnp.float32(3.0e38))
+                npad = (-cell.shape[0]) % 2048
+                cellp = jnp.pad(cell, (0, npad), constant_values=gw * gh)
+                rngp = jnp.pad(rngm, (0, npad), constant_values=3.0e38)
+                buf = pallas_zmin(
+                    cellp, rngp, gw * gh + 1,
+                    interpret=jax.default_backend() not in ("tpu", "axon"),
+                )
+                cmin = buf.reshape(-1)[cell]
+                vis = ok & (rng_ <= cmin + 0.05)
+                out = out + jnp.sum(vis.astype(jnp.float32))
+            elif stage != "project":
                 vis = zbuffer.cull_mask_uv(
                     camera, u, v, z, rng_, valid,
                     downsample_factor=14, depth_epsilon=0.05,
@@ -120,11 +145,12 @@ def main():
 
     scale = (n_map * k) / 8e6
     floors = {"project": 0.002 * scale, "cull": 0.004 * scale,
+              "cull_pallas": 0.003 * scale,
               "pack": 0.006 * scale, "sample": 0.008 * scale,
               "fuse": 0.02 * scale}
 
     results = {}
-    for stage in ("project", "cull", "pack", "sample", "fuse"):
+    for stage in ("project", "cull", "cull_pallas", "pack", "sample", "fuse"):
         chain(points, images, poses.q, poses.t, stage, reps).block_until_ready()
         print(f"# {stage} compiled", file=sys.stderr)
         walls, tries = [], 0
@@ -143,13 +169,15 @@ def main():
         print(json.dumps({"stage": stage, "s": round(results[stage], 4),
                           "calls": [round(w, 4) for w in walls]}))
 
-    pr, cu, pa, sa, fu = (results[s] for s in
-                          ("project", "cull", "pack", "sample", "fuse"))
+    pr, cu, cp_, pa, sa, fu = (results[s] for s in
+                          ("project", "cull", "cull_pallas", "pack",
+                           "sample", "fuse"))
     print(json.dumps({
         "metric": "colorize_anatomy_ms_per_frame",
         "k": k, "n_map": n_map,
         "project": round(pr / k * 1e3, 2),
         "zbuffer_scatter": round((cu - pr) / k * 1e3, 2),
+        "zbuffer_scatter_pallas": round((cp_ - pr) / k * 1e3, 2),
         "image_pack": round((pa - cu) / k * 1e3, 2),
         "sample_gather": round((sa - pa) / k * 1e3, 2),
         "topk_blend": round((fu - sa) / k * 1e3, 2),
