@@ -8,9 +8,11 @@ Workload (per BASELINE.json config 3/4): K keyframes at the reference's
 image scale (4096x3000, `PointCloudProcessor.cpp:206`), a 1M-point map,
 256k culled points per keyframe. One "frame" = z-buffer cull + projective
 colorization + fusion update + the frame's share of a 2-outer/10-inner NID
-BFGS refine. The baseline divisor is a single-threaded NumPy transliteration
-of the same math (the reference is CPU-only; it publishes no numbers —
-BASELINE.md), measured on a subsample and scaled linearly in point count.
+BFGS refine (the round-5 `frozen_c2f_deep` variant runs the tuned
+20-inner/ftol schedule from tools/solver_sweep). The baseline divisor is a
+single-threaded NumPy transliteration of the same math (the reference is
+CPU-only; it publishes no numbers — BASELINE.md); its colorize term is
+pinned by one full-scale single-thread run.
 
 The scene is adversarial, not friendly (VERDICT r1 §weak-3): a textured
 background wall at z=6 plus a foreground occluder slab at z=2.5, cameras
