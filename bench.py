@@ -537,6 +537,16 @@ def bench_tpu(width, height, n_map, n_cull, k, inner_iters, outer_iters,
                 "pose_err_deg": err_deg,
             }
     err = pose_err(r)
+    # Incremental dump: the axon tunnel has shown rare hard hangs in later
+    # phases (a blocked RPC immune to SIGTERM); flushing each phase's
+    # results keeps them recoverable from the log.
+    print(
+        "# PARTIAL " + json.dumps({
+            "runs": [[round(v, 4) for v in rr] for rr in runs],
+            "nid": float(r.nid), "err": err, "extras": extras,
+        }),
+        file=sys.stderr, flush=True,
+    )
     return runs, float(r.nid), int(fz.colored.sum()), extras, err
 
 
