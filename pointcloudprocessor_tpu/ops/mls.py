@@ -431,39 +431,29 @@ def _mls_smooth_jit(
     surf, pos, nrm = jax.lax.map(one, (qc, kc))
     flat = lambda a: a.reshape((-1,) + a.shape[2:])
     if dedup:
-        # Restore original order with ONE multi-payload sort keyed on the
-        # carried source indices (pad rows carry index >= n and sort to the
-        # end); payload-carrying sort beats 20+ per-index unsort gathers.
+        # Restore original order with ONE row scatter of the packed
+        # 26-channel payload (pos, nrm, surf fields): ~1 per-index tax for
+        # all channels together. (A 27-operand payload-carrying lax.sort
+        # computes the same thing but its XLA sort expansion compiles for
+        # 30+ minutes at 1M points — measured, and the scatter is cheaper
+        # at run time too. Per-channel unsort gathers would pay the
+        # per-index tax 20+ times.)
         orig_pad = jnp.pad(orig, (0, pad), constant_values=jnp.int32(n))
         s = jax.tree.map(flat, surf)
-        pos_f, nrm_f = flat(pos), flat(nrm)
-        (_, px_, py_, pz_, nx_, ny_, nz_, ox_, oy_, oz_, sn0, sn1, sn2,
-         tu0, tu1, tu2, tv0, tv1, tv2, c0, c1, c2, c3, c4, c5, ok_) = (
-            jax.lax.sort(
-                (orig_pad,
-                 pos_f[:, 0], pos_f[:, 1], pos_f[:, 2],
-                 nrm_f[:, 0], nrm_f[:, 1], nrm_f[:, 2],
-                 s.origin[:, 0], s.origin[:, 1], s.origin[:, 2],
-                 s.normal[:, 0], s.normal[:, 1], s.normal[:, 2],
-                 s.tangent_u[:, 0], s.tangent_u[:, 1], s.tangent_u[:, 2],
-                 s.tangent_v[:, 0], s.tangent_v[:, 1], s.tangent_v[:, 2],
-                 s.coeffs[:, 0], s.coeffs[:, 1], s.coeffs[:, 2],
-                 s.coeffs[:, 3], s.coeffs[:, 4], s.coeffs[:, 5],
-                 s.ok.astype(jnp.int8)),
-                num_keys=1,
-            )
-        )
-        pos_o = jnp.stack([px_, py_, pz_], -1)[:n]
-        nrm_o = jnp.stack([nx_, ny_, nz_], -1)[:n]
+        payload = jnp.concatenate(
+            [flat(pos), flat(nrm), s.origin, s.normal, s.tangent_u,
+             s.tangent_v, s.coeffs,
+             s.ok.astype(pos.dtype)[:, None]],
+            axis=1,
+        )  # (Npad, 25)
+        out = jnp.zeros((n + 1, payload.shape[1]), payload.dtype)
+        out = out.at[orig_pad].set(payload, mode="drop")[:n]
         surf_o = MLSSurface(
-            origin=jnp.stack([ox_, oy_, oz_], -1)[:n],
-            normal=jnp.stack([sn0, sn1, sn2], -1)[:n],
-            tangent_u=jnp.stack([tu0, tu1, tu2], -1)[:n],
-            tangent_v=jnp.stack([tv0, tv1, tv2], -1)[:n],
-            coeffs=jnp.stack([c0, c1, c2, c3, c4, c5], -1)[:n],
-            ok=ok_[:n].astype(bool),
+            origin=out[:, 6:9], normal=out[:, 9:12],
+            tangent_u=out[:, 12:15], tangent_v=out[:, 15:18],
+            coeffs=out[:, 18:24], ok=out[:, 24] > 0.5,
         )
-        return pos_o, nrm_o, surf_o
+        return out[:, 0:3], out[:, 3:6], surf_o
     unpad = lambda a: flat(a)[:n]
     return unpad(pos), unpad(nrm), jax.tree.map(unpad, surf)
 
