@@ -28,6 +28,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--ftols", default="0,1e-5,3e-5,1e-4,3e-4")
+    ap.add_argument("--guards", default="",
+                    help="optional guard sweep (comma floats); when set, "
+                         "ftol is fixed to the first --ftols entry and the "
+                         "guard becomes the swept axis")
     ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
 
@@ -73,14 +77,15 @@ def main():
         coarse_outer_iterations=1,
         coarse_stride=16,
         frozen_taps=True,
-        frozen_guard_frac=0.75,
     )
 
     @functools.partial(jax.jit, static_argnames=("reps",))
-    def chain(kfs_in, T_start, ftol, reps):
+    def chain(kfs_in, T_start, ftol, guard, reps):
         def body(i, carry):
             T_s, _ = carry
-            res = refine.refine_pose(camera, kfs_in, T_s, ftol=ftol, **kw)
+            res = refine.refine_pose(
+                camera, kfs_in, T_s, ftol=ftol, frozen_guard_frac=guard, **kw
+            )
             z = jnp.float32(0.0)
             eps = 1e-6 * (i.astype(jnp.float32) + 1.0) + 1e-9 * jnp.tanh(
                 jnp.sum(res.T_camera_lidar.t))
@@ -89,7 +94,8 @@ def main():
         placeholder = jax.tree_util.tree_map(
             lambda sd: jnp.zeros(sd.shape, sd.dtype),
             jax.eval_shape(lambda: refine.refine_pose(
-                camera, kfs_in, T_start, ftol=ftol, **kw)),
+                camera, kfs_in, T_start, ftol=ftol, frozen_guard_frac=guard,
+                **kw)),
         )
         _, res = jax.lax.fori_loop(0, reps, body, (T_start, placeholder))
         return res
@@ -97,10 +103,20 @@ def main():
     scale = (n_cull * k) / (262_144.0 * 8.0)
     min_s = 0.03 * scale * reps
     results = []
+    if args.guards:
+        # Guard-axis mode: sweep the staleness guard under the tuned
+        # schedule (ftol fixed); rows reuse the same executable.
+        sweep = [("guard", float(g)) for g in args.guards.split(",")]
+        fixed_ftol = float(args.ftols.split(",")[0])
+    else:
+        sweep = [("ftol", float(x)) for x in args.ftols.split(",")]
     for si, (scene_kfs, scene_tag) in enumerate(((kfs, "s1"), (kfs2, "s2"))):
-        for fi, f in enumerate(float(x) for x in args.ftols.split(",")):
-            ftol = jnp.float32(f)
-            r = chain(scene_kfs, T0, ftol, reps)
+        for fi, (axis, f) in enumerate(sweep):
+            if axis == "guard":
+                ftol, guard = jnp.float32(fixed_ftol), jnp.float32(f)
+            else:
+                ftol, guard = jnp.float32(f), jnp.float32(0.75)
+            r = chain(scene_kfs, T0, ftol, guard, reps)
             r.T_camera_lidar.t.block_until_ready()
             if fi == 0 and si == 0:
                 print("# compiled", file=sys.stderr)
@@ -112,7 +128,7 @@ def main():
                     jnp.float32,
                 )
                 t0 = time.perf_counter()
-                r = chain(scene_kfs, se3.compose(T0, se3.exp(eps)), ftol, reps)
+                r = chain(scene_kfs, se3.compose(T0, se3.exp(eps)), ftol, guard, reps)
                 r.T_camera_lidar.t.block_until_ready()
                 wall = time.perf_counter() - t0
                 attempt += 1
@@ -127,7 +143,7 @@ def main():
             )
             row = {
                 "scene": scene_tag,
-                "ftol": f,
+                axis: f,
                 "refine_s": round(dt_w, 4),
                 "refine_s_calls": [round(w, 4) for w in walls],
                 "nid": round(float(r.nid), 4),
@@ -138,11 +154,12 @@ def main():
             }
             results.append(row)
             print(json.dumps(row))
-    # Best = fastest ftol whose pose error stays within the reference bar on
-    # BOTH scenes.
+    # Best = fastest swept value whose pose error stays within the
+    # reference bar on BOTH scenes.
+    axis = "guard" if args.guards else "ftol"
     by_ftol = {}
     for r in results:
-        by_ftol.setdefault(r["ftol"], []).append(r)
+        by_ftol.setdefault(r[axis], []).append(r)
     ok = [
         f for f, rows in by_ftol.items()
         if all(r["pose_err_cm"] < 1.0 and r["pose_err_deg"] < 1.0 for r in rows)
@@ -152,13 +169,13 @@ def main():
             ok, key=lambda f: sum(r["refine_s"] for r in by_ftol[f])
         )
         print(json.dumps({
-            "metric": "solver_ftol_sweep_best",
-            "ftol": best_f,
+            "metric": f"solver_{axis}_sweep_best",
+            axis: best_f,
             "rows": by_ftol[best_f],
         }))
     else:
-        print(json.dumps({"metric": "solver_ftol_sweep_best", "ftol": None,
-                          "note": "no ftol met the 1 cm/1 deg bar on both scenes"}))
+        print(json.dumps({"metric": f"solver_{axis}_sweep_best", axis: None,
+                          "note": "no value met the 1 cm/1 deg bar on both scenes"}))
 
 
 if __name__ == "__main__":
